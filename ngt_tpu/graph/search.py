@@ -1,0 +1,246 @@
+"""Batched best-first graph traversal — the hot query path.
+
+TPU-native redesign of ``NeighborhoodGraph::search`` (reference
+lib/NGT/Graph.cpp:499-638) and its monomorphized read-only variant
+(``searchReadOnlyGraph``, Graph.cpp:396-497).  The reference walks one node
+at a time with binary heaps, an exact visited set, and AVX distance calls;
+that shape is hostile to a vector machine, so instead:
+
+* B queries traverse simultaneously (one program, no per-query dispatch);
+* the unchecked-heap + result-heap pair becomes ONE sorted candidate pool of
+  static width W per query.  The pool's first k entries are exactly the
+  reference's result heap (the global top-k of scored nodes always survives
+  in the top-W), so ``radius`` = k-th pool distance reproduces the
+  reference's radius-shrink rule (Graph.cpp:609-616);
+* per iteration each live query expands its best unexpanded candidate within
+  the exploration radius — the exact pop rule ``top.distance > ε·radius ⇒
+  stop`` (Graph.cpp:541-543) becomes the per-query done flag;
+* neighbor rows are gathered from the dense adjacency [N, E] and scored with
+  one batched distance kernel (the MXU/VPU replaces PrimitiveComparator);
+* the visited set (``distanceChecked``, an exact bitset/hash in the
+  reference) becomes a per-query bit table indexed by id when the index is
+  small enough (exact), else by multiplicative hash (the analogue of
+  HashBasedBooleanSet.h:25-109; collisions only skip candidates, never
+  corrupt results) — pool-membership tests keep the pool itself duplicate
+  free, and discarded candidates can never re-enter because the pool's worst
+  distance is monotonically non-increasing.
+
+Instrumentation mirrors the reference's ``visitCount`` /
+``distanceComputationCount`` (Common.h:2060-2063, Graph.cpp:592-604).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ngt_tpu.ops import distances as D
+from ngt_tpu.properties import DistanceType
+
+_F32 = jnp.float32
+_I32 = jnp.int32
+_U32 = jnp.uint32
+INF = jnp.float32(jnp.inf)
+
+#: default exploration coefficient = 1 + ε with ε=0.1
+#: (reference NGT_EXPLORATION_COEFFICIENT, defines.h.in:52 via Common.h)
+DEFAULT_EPSILON = 0.1
+
+
+class SearchResult(NamedTuple):
+    ids: jax.Array          # [B, k] int32, 0-padded ids are -1
+    dists: jax.Array        # [B, k] f32, +inf where empty
+    visit_count: jax.Array  # [B] int32 — neighbors looked at
+    dist_count: jax.Array   # [B] int32 — distance computations
+    iters: jax.Array        # [] int32 — loop iterations executed
+
+
+def _hash_ids(ids: jax.Array, hash_bits: int, exact: bool) -> jax.Array:
+    """Map ids -> [0, 2^hash_bits) slots. Exact (identity) when the id space
+    fits; multiplicative hash otherwise (cf. HashBasedBooleanSet.h:37-41)."""
+    u = ids.astype(_U32)
+    if exact:
+        return u
+    return (u * _U32(2654435761)) >> _U32(32 - hash_bits)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "k", "width", "edge_size", "max_iters", "hash_bits",
+        "exact_hash",
+    ),
+)
+def graph_search(
+    x: jax.Array,            # [N_pad, D_pad] object matrix
+    nbr: jax.Array,          # [N_pad, E_max] int32 adjacency, -1 padded
+    valid: jax.Array,        # [N_pad] bool — live objects
+    queries: jax.Array,      # [B, D_pad] prepared queries
+    seed_ids: jax.Array,     # [B, S] int32, -1 padded
+    *,
+    metric: DistanceType,
+    k: int,
+    epsilon: float | jax.Array = DEFAULT_EPSILON,
+    radius: float | jax.Array = jnp.inf,
+    width: int = 64,
+    edge_size: int = 0,       # 0 = all stored edges
+    max_iters: int = 0,       # 0 = auto
+    hash_bits: int = 16,
+    exact_hash: bool = False,
+    x_sqnorm: jax.Array | None = None,
+) -> SearchResult:
+    """One batched k-NN search over a fixed proximity graph."""
+    n_pad, e_max = nbr.shape
+    b, _ = queries.shape
+    e = e_max if edge_size <= 0 or edge_size > e_max else edge_size
+    w = max(width, k)
+    s = seed_ids.shape[1]
+    if max_iters <= 0:
+        max_iters = max(512, 4 * w + 32 * k)
+    hash_words = (1 << hash_bits) // 32
+
+    eps_coeff = 1.0 + jnp.asarray(epsilon, _F32)          # explorationCoefficient
+    radius0 = jnp.broadcast_to(jnp.asarray(radius, _F32), (b,))
+
+    q_sq = jnp.sum(queries.astype(_F32) ** 2, axis=-1)
+
+    # ---- seed scoring (reference setupDistances/setupSeeds, Graph.cpp:243-394)
+    seed_ok = (seed_ids >= 0) & jnp.take(
+        valid, jnp.clip(seed_ids, 0, n_pad - 1), axis=0
+    )
+    seed_rows = jnp.take(x, jnp.clip(seed_ids, 0, n_pad - 1), axis=0)
+    seed_sq = (
+        jnp.take(x_sqnorm, jnp.clip(seed_ids, 0, n_pad - 1), axis=0)
+        if x_sqnorm is not None
+        else None
+    )
+    seed_d = D.gathered(metric, queries, seed_rows, xs_sqnorm=seed_sq, q_sqnorm=q_sq)
+    seed_d = jnp.where(seed_ok, seed_d, INF)
+    # dedupe seeds within the batch row (duplicate ids would poison the pool)
+    srt = jnp.sort(seed_ids, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((b, 1), bool), srt[:, 1:] == srt[:, :-1]], axis=1
+    )
+    # map dup flags back: mark all but first occurrence as inf via a trick —
+    # sort (id, dist) pairs, then invalidate repeats, then restore by re-sort
+    order = jnp.argsort(seed_ids, axis=1)
+    inv_dup = jnp.zeros((b, s), bool).at[
+        jnp.arange(b)[:, None], order
+    ].set(dup)
+    seed_d = jnp.where(inv_dup, INF, seed_d)
+    seed_idv = jnp.where(jnp.isinf(seed_d), -1, seed_ids)
+
+    # ---- initial pool: seeds sorted ascending, padded to width W
+    pad = w - s if w > s else 0
+    pool_d = jnp.concatenate([seed_d, jnp.full((b, pad), INF)], axis=1)[:, :w]
+    pool_i = jnp.concatenate(
+        [seed_idv, jnp.full((b, pad), -1, _I32)], axis=1
+    )[:, :w]
+    pool_d, pool_i = jax.lax.sort((pool_d, pool_i), dimension=1, num_keys=2)
+    pool_e = jnp.zeros((b, w), bool)
+
+    visited = jnp.zeros((b, hash_words), _U32)
+    done = jnp.logical_not(jnp.any(pool_i >= 0, axis=1))
+    rowsel = jnp.arange(b)
+
+    nbr_e = nbr[:, :e]
+
+    def radius_of(pd):
+        rk = pd[:, k - 1] if k <= w else pd[:, -1]
+        return jnp.minimum(rk, radius0)
+
+    def cond(state):
+        it, _, _, _, _, done_, _, _ = state
+        return jnp.logical_and(it < max_iters, jnp.logical_not(jnp.all(done_)))
+
+    def body(state):
+        it, pool_d, pool_i, pool_e, visited, done_, vc, dc = state
+
+        r = radius_of(pool_d)
+        er = r * eps_coeff  # explorationRadius (Graph.cpp:525)
+
+        cand = (~pool_e) & (pool_i >= 0) & (pool_d <= er[:, None])
+        has = jnp.any(cand, axis=1)
+        new_done = done_ | ~has
+        cur_idx = jnp.argmax(cand, axis=1)                    # first unexpanded
+        cur_id = pool_i[rowsel, cur_idx]
+        cur_id_safe = jnp.clip(cur_id, 0, n_pad - 1)
+
+        live = ~new_done
+        # mark expanded (pop from unchecked)
+        pool_e = pool_e.at[rowsel, cur_idx].set(pool_e[rowsel, cur_idx] | live)
+        # mark visited bitmap
+        h = _hash_ids(cur_id_safe, hash_bits, exact_hash)
+        word, bit = (h >> _U32(5)).astype(_I32), (h & _U32(31))
+        oldw = visited[rowsel, word]
+        visited = visited.at[rowsel, word].set(
+            jnp.where(live, oldw | (_U32(1) << bit), oldw)
+        )
+
+        # gather neighbors of the expanded node
+        nb = jnp.take(nbr_e, cur_id_safe, axis=0)             # [B, e]
+        nb_ok = (nb >= 0) & live[:, None]
+        nb_safe = jnp.clip(nb, 0, n_pad - 1)
+        nb_ok &= jnp.take(valid, nb_safe, axis=0)
+
+        # visited test (distanceChecked, Graph.cpp:597)
+        hn = _hash_ids(nb_safe, hash_bits, exact_hash)
+        wn, bn = (hn >> _U32(5)).astype(_I32), (hn & _U32(31))
+        seen = (jnp.take_along_axis(visited, wn, axis=1) >> bn) & _U32(1)
+        nb_ok &= seen == 0
+        # pool-membership test (keeps pool duplicate-free; unexpanded pool
+        # entries are exactly the reference's unchecked set)
+        inpool = jnp.any(nb[:, :, None] == pool_i[:, None, :], axis=2)
+        nb_ok &= ~inpool
+
+        vc = vc + jnp.sum((nb >= 0) & live[:, None], axis=1, dtype=_I32)
+        dc = dc + jnp.sum(nb_ok, axis=1, dtype=_I32)
+
+        rows = jnp.take(x, nb_safe, axis=0)                   # [B, e, D]
+        rsq = (
+            jnp.take(x_sqnorm, nb_safe, axis=0)
+            if x_sqnorm is not None
+            else None
+        )
+        nd = D.gathered(metric, queries, rows, xs_sqnorm=rsq, q_sqnorm=q_sq)
+        # admission: push to unchecked iff dist <= explorationRadius
+        # (Graph.cpp:605-607); anything farther can never become a result
+        nd = jnp.where(nb_ok & (nd <= er[:, None]), nd, INF)
+        ni = jnp.where(jnp.isinf(nd), -1, nb)
+
+        md = jnp.concatenate([pool_d, nd], axis=1)
+        mi = jnp.concatenate([pool_i, ni], axis=1)
+        me = jnp.concatenate([pool_e, jnp.zeros((b, e), bool)], axis=1)
+        md, mi, me = jax.lax.sort((md, mi, me), dimension=1, num_keys=2)
+        pool_d, pool_i, pool_e = md[:, :w], mi[:, :w], me[:, :w]
+
+        # Evict expanded entries ranked beyond k: they are neither results
+        # (the pool's top-k only ever improves, so a sub-top-k expanded entry
+        # can never re-enter it) nor frontier (already expanded).  This keeps
+        # the fixed-width pool behaving like the reference's unbounded
+        # unchecked queue: k result slots + (W-k) live frontier slots.
+        rank = jax.lax.broadcasted_iota(_I32, (b, w), 1)
+        evict = pool_e & (rank >= k)
+        pool_d = jnp.where(evict, INF, pool_d)
+        pool_i = jnp.where(evict, -1, pool_i)
+        pool_e = pool_e & ~evict
+
+        return (it + 1, pool_d, pool_i, pool_e, visited, new_done, vc, dc)
+
+    state = (
+        jnp.int32(0), pool_d, pool_i, pool_e, visited, done,
+        jnp.zeros((b,), _I32), jnp.zeros((b,), _I32),
+    )
+    it, pool_d, pool_i, pool_e, visited, done, vc, dc = jax.lax.while_loop(
+        cond, body, state
+    )
+
+    out_d = pool_d[:, :k]
+    out_i = pool_i[:, :k]
+    keep = out_d <= radius0[:, None]
+    out_i = jnp.where(keep, out_i, -1)
+    out_d = jnp.where(keep, out_d, INF)
+    return SearchResult(out_i, out_d, vc, dc, it)

@@ -1,0 +1,179 @@
+"""GraphStore — fixed-width adjacency replacing the reference's per-node
+variable-length sorted edge lists (``GraphRepository`` of ``GraphNode``;
+reference lib/NGT/Graph.h:62-183).
+
+Host numpy is authoritative (graph mutation is inherently serial in the
+reference too — ``insertMultipleSearchResults`` runs on the coordinator
+thread, Index.cpp:670-719); the device holds a mirror used by the batched
+search kernel, updated by row scatter.
+
+Layout: ``nbr_ids[N_cap, E_max]`` int32 (-1 padded), ``nbr_dist`` f32
+(+inf padded), rows sorted ascending by distance (the reference keeps edge
+lists sorted; Graph.h:845-886 ``addEdge`` does a sorted insert).  A fixed
+E_max replaces the reference's unbounded ANNG in-degree growth: when a row
+is full, a farther edge is dropped (the behavior of
+``addEdgeDeletingExcessEdges``, Graph.h:888-934).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+INF = np.float32(np.inf)
+
+
+class GraphStore:
+    def __init__(self, max_edges: int = 64, capacity: int = 1024):
+        self.e_max = int(max_edges)
+        cap = max(int(capacity), 16)
+        self.nbr_ids = np.full((cap, self.e_max), -1, dtype=np.int32)
+        self.nbr_dist = np.full((cap, self.e_max), INF, dtype=np.float32)
+        self.degree = np.zeros((cap,), dtype=np.int32)
+        self._has_node = np.zeros((cap,), dtype=bool)
+
+    @property
+    def capacity(self) -> int:
+        return self.nbr_ids.shape[0]
+
+    def ensure_capacity(self, n: int) -> bool:
+        """Grow to hold node id n-1; returns True if a realloc happened."""
+        if n <= self.capacity:
+            return False
+        cap = self.capacity
+        while cap < n:
+            cap *= 2
+        ids = np.full((cap, self.e_max), -1, dtype=np.int32)
+        ids[: self.nbr_ids.shape[0]] = self.nbr_ids
+        dist = np.full((cap, self.e_max), INF, dtype=np.float32)
+        dist[: self.nbr_dist.shape[0]] = self.nbr_dist
+        deg = np.zeros((cap,), dtype=np.int32)
+        deg[: self.degree.shape[0]] = self.degree
+        has = np.zeros((cap,), dtype=bool)
+        has[: self._has_node.shape[0]] = self._has_node
+        self.nbr_ids, self.nbr_dist, self.degree, self._has_node = ids, dist, deg, has
+        return True
+
+    def has_node(self, oid: int) -> bool:
+        return 0 <= oid < self.capacity and bool(self._has_node[oid])
+
+    def node_count(self) -> int:
+        return int(self._has_node.sum())
+
+    def get_node(self, oid: int) -> tuple[np.ndarray, np.ndarray]:
+        d = int(self.degree[oid])
+        return self.nbr_ids[oid, :d].copy(), self.nbr_dist[oid, :d].copy()
+
+    # ------------------------------------------------------------ mutation --
+    def set_nodes(self, oids: np.ndarray, ids: np.ndarray, dists: np.ndarray):
+        """Replace whole rows (ids/dists [T, <=E_max], -1/inf padded, sorted)."""
+        oids = np.asarray(oids, dtype=np.int64)
+        self.ensure_capacity(int(oids.max()) + 1 if len(oids) else 0)
+        t, k = ids.shape
+        if k > self.e_max:
+            ids, dists = ids[:, : self.e_max], dists[:, : self.e_max]
+            k = self.e_max
+        row_i = np.full((t, self.e_max), -1, dtype=np.int32)
+        row_d = np.full((t, self.e_max), INF, dtype=np.float32)
+        row_i[:, :k] = ids
+        row_d[:, :k] = np.where(ids >= 0, dists, INF)
+        row_i[row_d == INF] = -1
+        order = np.argsort(row_d, axis=1, kind="stable")
+        row_d = np.take_along_axis(row_d, order, axis=1)
+        row_i = np.take_along_axis(row_i, order, axis=1)
+        self.nbr_ids[oids] = row_i
+        self.nbr_dist[oids] = row_d
+        self.degree[oids] = (row_i >= 0).sum(axis=1)
+        self._has_node[oids] = True
+
+    def add_edges(self, targets: np.ndarray, srcs: np.ndarray, dists: np.ndarray):
+        """Bulk sorted-insert of edges target->src (the reverse-edge step of
+        ANNG insertion; reference ``addEdge`` calls in insertANNGNode,
+        Graph.h:611-626).  Full rows drop the farthest edge.  Duplicate
+        (target, src) pairs are skipped like the reference's
+        ``addEdgeDeletingExcessEdges`` duplicate check (Graph.h:896-907)."""
+        if len(targets) == 0:
+            return
+        targets = np.asarray(targets, dtype=np.int64)
+        srcs = np.asarray(srcs, dtype=np.int32)
+        dists = np.asarray(dists, dtype=np.float32)
+        self.ensure_capacity(int(targets.max()) + 1)
+
+        order = np.argsort(targets, kind="stable")
+        targets, srcs, dists = targets[order], srcs[order], dists[order]
+        uniq, starts, counts = np.unique(
+            targets, return_index=True, return_counts=True
+        )
+        a_max = int(counts.max())
+        nt = len(uniq)
+        # slot of each add within its target group
+        slot = np.arange(len(targets)) - np.repeat(starts, counts)
+        add_i = np.full((nt, a_max), -1, dtype=np.int32)
+        add_d = np.full((nt, a_max), INF, dtype=np.float32)
+        grp = np.repeat(np.arange(nt), counts)
+        add_i[grp, slot] = srcs
+        add_d[grp, slot] = dists
+
+        cur_i = self.nbr_ids[uniq]
+        cur_d = self.nbr_dist[uniq]
+        # drop adds already present in the row
+        dup = (add_i[:, :, None] == cur_i[:, None, :]).any(axis=2)
+        dup |= add_i < 0
+        add_d[dup] = INF
+        add_i[dup] = -1
+
+        merged_d = np.concatenate([cur_d, add_d], axis=1)
+        merged_i = np.concatenate([cur_i, add_i], axis=1)
+        order2 = np.argsort(merged_d, axis=1, kind="stable")[:, : self.e_max]
+        new_d = np.take_along_axis(merged_d, order2, axis=1)
+        new_i = np.take_along_axis(merged_i, order2, axis=1)
+        self.nbr_ids[uniq] = new_i
+        self.nbr_dist[uniq] = new_d
+        self.degree[uniq] = (new_i >= 0).sum(axis=1)
+        self._has_node[uniq] = True
+
+    def remove_node(self, oid: int) -> np.ndarray:
+        """Tombstone a node; returns its former neighbor ids.  The caller is
+        responsible for unlinking incoming edges (see build.remove_object —
+        the batched analogue of removeEdgesReliably, Graph.cpp:641-864)."""
+        former = self.nbr_ids[oid, : self.degree[oid]].copy()
+        self.nbr_ids[oid] = -1
+        self.nbr_dist[oid] = INF
+        self.degree[oid] = 0
+        self._has_node[oid] = False
+        return former
+
+    def remove_edges_to(self, targets: np.ndarray, gone: int):
+        """Drop edges target->gone from the given rows (vectorized unlink)."""
+        if len(targets) == 0:
+            return
+        targets = np.asarray(targets, dtype=np.int64)
+        targets = targets[(targets >= 0) & (targets < self.capacity)]
+        rows_i = self.nbr_ids[targets]
+        rows_d = self.nbr_dist[targets]
+        hit = rows_i == gone
+        rows_d[hit] = INF
+        rows_i[hit] = -1
+        order = np.argsort(rows_d, axis=1, kind="stable")
+        self.nbr_dist[targets] = np.take_along_axis(rows_d, order, axis=1)
+        self.nbr_ids[targets] = np.take_along_axis(rows_i, order, axis=1)
+        self.degree[targets] = (self.nbr_ids[targets] >= 0).sum(axis=1)
+
+    # --------------------------------------------------------- persistence --
+    def state_dict(self, n: int) -> dict:
+        return {
+            "nbr_ids": self.nbr_ids[:n],
+            "nbr_dist": self.nbr_dist[:n],
+            "degree": self.degree[:n],
+            "has_node": self._has_node[:n],
+            "e_max": self.e_max,
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "GraphStore":
+        g = cls(max_edges=int(state["e_max"]), capacity=max(len(state["degree"]), 16))
+        n = len(state["degree"])
+        g.nbr_ids[:n] = state["nbr_ids"]
+        g.nbr_dist[:n] = state["nbr_dist"]
+        g.degree[:n] = state["degree"]
+        g._has_node[:n] = state["has_node"]
+        return g

@@ -1,0 +1,436 @@
+"""Index facade — create / insert / build / search / save / open.
+
+API mirrors the reference's Python surface (``ngtpy``; reference
+python/src/ngtpy.cpp:28-639 and the ``NGT::Index`` facade, lib/NGT/Index.h:42-547):
+zero-based external ids by default (ngtpy.cpp:70-75), ``insert`` +
+``build_index`` resume semantics (only unindexed objects are built;
+Index.cpp:648-651), epsilon/edge-size search knobs, and an index directory
+with an NGT-compatible ``prf`` file.
+
+Device-side layout: objects in one HBM matrix, adjacency in a fixed-width
+int32 matrix, searches batched (``batch_search`` is the TPU-native entry;
+``search`` wraps a batch of one).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+from typing import Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ngt_tpu.graph.build import DeviceMirror, build_anng, remove_object, _bucket, _pad_ids
+from ngt_tpu.graph.search import graph_search
+from ngt_tpu.graph.storage import GraphStore
+from ngt_tpu.ops import bruteforce as BF
+from ngt_tpu.properties import (
+    DistanceType,
+    IndexType,
+    ObjectType,
+    Property,
+    resolve_distance_type,
+    resolve_object_type,
+)
+from ngt_tpu.seeds import Seeder
+from ngt_tpu.store import VectorStore
+
+FORMAT_VERSION = 1
+
+
+class Index:
+    def __init__(
+        self,
+        path: Optional[str] = None,
+        prop: Optional[Property] = None,
+        zero_based_numbering: bool = True,
+    ):
+        self.path = path
+        self.zero_based = zero_based_numbering
+        if path is not None and os.path.exists(os.path.join(path, "prf")):
+            self._load(path)
+            return
+        if prop is None:
+            raise ValueError("need an existing index path or a Property")
+        self.prop = prop.copy()
+        self.store = VectorStore(
+            dimension=prop.dimension,
+            metric=prop.distance_type,
+            object_type=prop.object_type,
+        )
+        self.graph = GraphStore(max_edges=prop.max_edges)
+        self.seeder = Seeder(prop.distance_type, seed_size=prop.seed_size)
+        self._mirror: Optional[DeviceMirror] = None
+
+    # ------------------------------------------------------------- ids -----
+    def _ext(self, internal: np.ndarray | int):
+        if isinstance(internal, (int, np.integer)):
+            return int(internal) - 1 if self.zero_based else int(internal)
+        out = np.asarray(internal)
+        if self.zero_based:
+            out = np.where(out >= 0, out - 1, out)
+        return out
+
+    def _int(self, external: int) -> int:
+        return int(external) + 1 if self.zero_based else int(external)
+
+    # --------------------------------------------------------- mutation ----
+    def insert(self, v) -> int:
+        """Insert one vector (no graph node yet — call build_index;
+        mirrors ngtpy insert, ngtpy.cpp:126-143)."""
+        return self._ext(self.store.insert(np.asarray(v)))
+
+    def batch_insert(self, vs, build: bool = True) -> np.ndarray:
+        """Insert many vectors and (by default) index them
+        (ngtpy batch_insert, ngtpy.cpp:145-170)."""
+        ids = self.store.batch_insert(np.asarray(vs))
+        if build:
+            self.build_index()
+        return self._ext(ids)
+
+    def build_index(self, num_threads: int = 0) -> None:
+        """Create graph nodes for all unindexed objects
+        (Index::createIndex; Index.cpp:609-629). ``num_threads`` accepted for
+        API parity; parallelism is the device batch."""
+        del num_threads
+        n = self.store.repository_size
+        self.graph.ensure_capacity(self.store._x.shape[0])
+        live = self.store._valid[:n]
+        has = self.graph._has_node[:n]
+        pending = np.nonzero(live & ~has)[0].astype(np.int32)
+        self._mirror = build_anng(
+            self.store, self.graph, self.seeder, self.prop, pending, self._mirror
+        )
+
+    def remove(self, external_id: int) -> None:
+        oid = self._int(external_id)
+        if not self.store.contains(oid):
+            raise KeyError(f"no such object id: {external_id}")
+        remove_object(self.store, self.graph, oid, self.store.metric)
+        self._mirror = None  # simple: rebuild mirror lazily after removal
+
+    def get_object(self, external_id: int) -> np.ndarray:
+        return self.store.get(self._int(external_id))
+
+    def __len__(self) -> int:
+        return len(self.store)
+
+    # ------------------------------------------------------------ search ----
+    def _ensure_mirror(self) -> DeviceMirror:
+        if self._mirror is None:
+            self._mirror = DeviceMirror(self.store, self.graph)
+            self._mirror.sync_full()
+        return self._mirror
+
+    def _auto_width(self, k: int, epsilon: float) -> int:
+        if self.prop.search_width > 0:
+            return max(self.prop.search_width, k)
+        # wider exploration for bigger ε, mirroring the reference's dynamic
+        # edge policy intent (Graph.h:675-692)
+        return max(64, 2 * k, int(k * (1.0 + 8.0 * max(epsilon, 0.0))))
+
+    def batch_search(
+        self,
+        queries,
+        size: int = 10,
+        epsilon: float = 0.1,
+        radius: float = float("inf"),
+        edge_size: int = -1,
+        width: int = 0,
+        with_stats: bool = False,
+    ):
+        """TPU-native batched k-NN. queries: [B, dim] host or device array.
+        Returns (ids [B, k] external, dists [B, k]); -1 id = empty slot."""
+        mirror = self._ensure_mirror()
+        q = self.store.prepare_queries(np.asarray(queries, dtype=np.float32))
+        b = q.shape[0]
+        bpad = _bucket(b)
+        if bpad != b:
+            q = jnp.concatenate([q, jnp.tile(q[:1], (bpad - b, 1))], axis=0)
+        seeds = self.seeder.seeds_for(q, seed_size=self.prop.seed_size)
+        if edge_size in (-1, 0):
+            e = min(self.prop.edge_size_for_search, self.graph.e_max)
+        elif edge_size == -2:
+            # dynamic edge size (reference Graph.h:684-688):
+            # base + rate^(epsilon*10... ) — reference formula:
+            # edge = base * (rate ** (ε*10)) approximated; see optimizer
+            e = min(
+                int(
+                    self.prop.dynamic_edge_size_base
+                    * (self.prop.dynamic_edge_size_rate / 10.0) ** (epsilon * 10)
+                ),
+                self.graph.e_max,
+            )
+        else:
+            e = min(int(edge_size), self.graph.e_max)
+        bits, exact = _wrap_hash_bits(mirror.capacity, self.prop.visited_bits_log2)
+        res = graph_search(
+            mirror.x,
+            mirror.nbr,
+            mirror.valid,
+            q,
+            seeds,
+            metric=self.store.metric,
+            k=int(size),
+            epsilon=float(epsilon),
+            radius=float(radius),
+            width=width if width > 0 else self._auto_width(size, epsilon),
+            edge_size=int(e),
+            hash_bits=bits,
+            exact_hash=exact,
+            x_sqnorm=mirror.sqnorm,
+        )
+        ids = self._ext(np.asarray(res.ids)[:b])
+        dists = np.asarray(res.dists)[:b]
+        if with_stats:
+            return ids, dists, {
+                "visit_count": np.asarray(res.visit_count)[:b],
+                "distance_count": np.asarray(res.dist_count)[:b],
+                "iters": int(res.iters),
+            }
+        return ids, dists
+
+    def search(
+        self,
+        query,
+        size: int = 10,
+        epsilon: float = 0.1,
+        radius: float = float("inf"),
+        edge_size: int = -1,
+        with_distance: bool = True,
+    ):
+        """Single-query search returning [(id, dist)] like ngtpy
+        (ngtpy.cpp:172-240)."""
+        ids, dists = self.batch_search(
+            np.asarray(query, dtype=np.float32)[None, :],
+            size=size,
+            epsilon=epsilon,
+            radius=radius,
+            edge_size=edge_size,
+        )
+        out = [
+            (int(i), float(d))
+            for i, d in zip(ids[0], dists[0])
+            if i >= (0 if self.zero_based else 1) and np.isfinite(d)
+        ]
+        if with_distance:
+            return out
+        return [i for i, _ in out]
+
+    def linear_search(self, query, size: int = 10):
+        """Exact search (ngtpy linear_search; ObjectSpaceRepository.h:466)."""
+        x, valid, sqn = self.store.device_arrays()
+        q = self.store.prepare_queries(np.asarray(query, dtype=np.float32)[None, :])
+        ids, dists = BF.linear_search(
+            q, x, valid, self.store.metric, int(size), x_sqnorm=sqn
+        )
+        ids = self._ext(np.asarray(ids))[0]
+        dists = np.asarray(dists)[0]
+        return [
+            (int(i), float(d))
+            for i, d in zip(ids, dists)
+            if i >= (0 if self.zero_based else 1) and np.isfinite(d)
+        ]
+
+    def batch_linear_search(self, queries, size: int = 10):
+        """Exact batched top-k — also the ground-truth generator for the
+        recall harness (reference generates GT with `ngt search -i s`)."""
+        x, valid, sqn = self.store.device_arrays()
+        q = self.store.prepare_queries(np.asarray(queries, dtype=np.float32))
+        ids, dists = BF.linear_search(
+            q, x, valid, self.store.metric, int(size), x_sqnorm=sqn
+        )
+        return self._ext(np.asarray(ids)), np.asarray(dists)
+
+    # ------------------------------------------------------------ verify ----
+    def verify(self) -> list[str]:
+        """Structural invariant check (the analogue of GraphIndex::verify +
+        GraphAndTreeIndex::verify, reference Index.h:940-1053,
+        Index.cpp:1438-1615). Returns a list of problems (empty = ok)."""
+        errs: list[str] = []
+        n = self.store.repository_size
+        live = self.store._valid[:n]
+        has = self.graph._has_node[:n]
+        if (live & ~has).any():
+            errs.append(f"{int((live & ~has).sum())} objects lack graph nodes")
+        if (~live & has).any():
+            errs.append(f"{int((~live & has).sum())} graph nodes lack objects")
+        nbr = self.graph.nbr_ids[:n]
+        deg = self.graph.degree[:n]
+        col = np.arange(nbr.shape[1])[None, :]
+        in_deg = col < deg[:, None]
+        edges = nbr[in_deg]
+        if len(edges):
+            if (edges < 0).any():
+                errs.append("negative edge inside degree range")
+            bad = ~live[np.clip(edges, 0, n - 1)] | (edges >= n)
+            if bad.any():
+                errs.append(f"{int(bad.sum())} edges point to dead/out-of-range ids")
+        # self edges
+        rows = np.nonzero((nbr == np.arange(n)[:, None]) & in_deg)[0]
+        if len(rows):
+            errs.append(f"{len(rows)} self-edges")
+        # sortedness (within degree only; padding is +inf — swap in a large
+        # finite value so diff never computes inf-inf)
+        d = np.where(
+            np.isfinite(self.graph.nbr_dist[:n]),
+            self.graph.nbr_dist[:n],
+            np.float32(3.0e38),
+        )
+        dd = np.diff(d, axis=1)
+        within = in_deg[:, 1:]
+        if not (dd[within] >= -1e-6).all():
+            errs.append("edge lists not sorted by distance")
+        return errs
+
+    # ------------------------------------------------------- persistence ----
+    def save(self, path: Optional[str] = None) -> None:
+        path = path or self.path
+        if path is None:
+            raise ValueError("no path")
+        os.makedirs(path, exist_ok=True)
+        self.prop.dimension = self.store.dimension
+        self.prop.save(os.path.join(path, "prf"))
+        n = self.store.repository_size
+        np.save(os.path.join(path, "objects.npy"), self.store._x[:n])
+        gs = self.graph.state_dict(n)
+        ss = self.store.state_dict()
+        np.savez(
+            os.path.join(path, "graph.npz"),
+            **gs,
+            valid=ss["valid"],
+            free=ss["free"],
+        )
+        np.savez(os.path.join(path, "seeds.npz"), rep_ids=self.seeder.rep_ids)
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump(
+                {"format_version": FORMAT_VERSION, "size": n, "framework": "ngt_tpu"},
+                fh,
+            )
+        self.path = path
+
+    def _load(self, path: str) -> None:
+        self.prop = Property.load_dir(path)
+        x = np.load(os.path.join(path, "objects.npy"))
+        g = np.load(os.path.join(path, "graph.npz"))
+        self.store = VectorStore.from_state(
+            {
+                "x": x,
+                "valid": g["valid"],
+                "free": g["free"],
+                "dimension": self.prop.dimension,
+                "metric": int(self.prop.distance_type),
+                "object_type": int(self.prop.object_type),
+            }
+        )
+        self.graph = GraphStore.from_state(
+            {k: g[k] for k in ("nbr_ids", "nbr_dist", "degree", "has_node", "e_max")}
+        )
+        self.graph.ensure_capacity(self.store._x.shape[0])
+        self.seeder = Seeder(self.prop.distance_type, seed_size=self.prop.seed_size)
+        seeds = np.load(os.path.join(path, "seeds.npz"))
+        rep = seeds["rep_ids"]
+        if len(rep):
+            self.seeder.set_representatives(rep, self.store._x)
+        self._mirror = None
+        self.path = path
+
+    def close(self) -> None:
+        self._mirror = None
+
+    @staticmethod
+    def destroy(path: str) -> None:
+        """Delete index files (NGT::Index::destroy, Index.h:496)."""
+        shutil.rmtree(path)
+
+    # -------------------------------------------------------- text export ---
+    def export_index(self, fh) -> None:
+        """Portable text export (Index::exportIndex, Index.h:703-715)."""
+        n = self.store.repository_size
+        fh.write(f"# ngt_tpu export v{FORMAT_VERSION}\n")
+        fh.write(json.dumps(self.prop.to_prf()) + "\n")
+        for oid in range(1, n):
+            if not self.store._valid[oid]:
+                fh.write("-\n")
+                continue
+            v = self.store._x[oid, : self.store.dimension]
+            fh.write("+" + "\t".join(str(float(t)) for t in v) + "\n")
+
+    @classmethod
+    def import_index(cls, fh, path: Optional[str] = None) -> "Index":
+        header = fh.readline()
+        if not header.startswith("# ngt_tpu export"):
+            raise ValueError("not an ngt_tpu export stream")
+        prop = Property.from_prf(json.loads(fh.readline()))
+        idx = cls(prop=prop)
+        vecs, holes = [], []
+        for i, line in enumerate(fh):
+            line = line.rstrip("\n")
+            if line.startswith("+"):
+                vecs.append(
+                    (i, np.array([float(t) for t in line[1:].split("\t")]))
+                )
+            else:
+                holes.append(i)
+        if vecs:
+            mat = np.stack([v for _, v in vecs])
+            idx.store.batch_insert(mat)
+            for h in sorted(holes):
+                pass  # holes become free slots implicitly on rebuild
+            idx.build_index()
+        if path:
+            idx.save(path)
+        return idx
+
+
+def _wrap_hash_bits(capacity: int, override: int) -> tuple[int, bool]:
+    if override > 0:
+        bits = override
+    else:
+        bits = max(min(int(math.ceil(math.log2(max(capacity, 2)))), 17), 10)
+    return bits, capacity <= (1 << bits)
+
+
+# ---------------------------------------------------------------- factory ---
+
+
+def create(
+    path: Optional[str],
+    dimension: int,
+    edge_size_for_creation: int = 10,
+    edge_size_for_search: int = 40,
+    distance_type="L2",
+    object_type="Float",
+    max_edges: int = 0,
+    **kwargs,
+) -> Index:
+    """Create a new index (ngtpy.create, ngtpy.cpp:505-529)."""
+    prop = Property(
+        dimension=dimension,
+        edge_size_for_creation=edge_size_for_creation,
+        edge_size_for_search=edge_size_for_search,
+        distance_type=resolve_distance_type(distance_type),
+        object_type=resolve_object_type(object_type),
+        index_type=IndexType.GRAPH_AND_TREE,
+    )
+    prop.max_edges = max_edges if max_edges > 0 else max(
+        64, 2 * edge_size_for_creation
+    )
+    for key, val in kwargs.items():
+        if not hasattr(prop, key):
+            raise TypeError(f"unknown property: {key}")
+        setattr(prop, key, val)
+    idx = Index(prop=prop)
+    idx.path = path
+    if path:
+        os.makedirs(path, exist_ok=True)
+        idx.save(path)
+    return idx
+
+
+def open_index(path: str, zero_based_numbering: bool = True) -> Index:
+    """Open an existing index (ngtpy.Index ctor, ngtpy.cpp:58-75)."""
+    return Index(path=path, zero_based_numbering=zero_based_numbering)

@@ -1,0 +1,77 @@
+"""Seed selection — the TPU replacement for the reference's DVPTree.
+
+The reference seeds graph search by descending a vantage-point tree to a
+leaf and taking its members (``GraphAndTreeIndex::getSeedsFromTree``,
+reference lib/NGT/Index.h:1524-1567; tree in Tree.{h,cpp}/Node.{h,cpp}), or
+random nodes for tree-less indexes (``GraphIndex::getRandomSeeds``,
+Index.h:1070-1090).  Pointer-tree descent is hostile to TPUs; an equivalent
+seeding signal — "a few graph nodes near the query" — comes from scoring the
+query against a small set of representative rows with ONE matmul and taking
+the top ``seed_size``.  Representatives are a uniform sample of live ids,
+refreshed as the index grows (build) or k-means centroids' nearest members
+(finalized index), giving leaf-like locality without any pointers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ngt_tpu.ops import distances as D
+from ngt_tpu.properties import DistanceType
+
+
+class Seeder:
+    """Holds representative object ids + their rows on device."""
+
+    def __init__(self, metric: DistanceType, seed_size: int = 10):
+        self.metric = DistanceType(metric)
+        self.seed_size = int(seed_size)
+        self.rep_ids: np.ndarray = np.zeros((0,), np.int32)
+        self._rep_rows: jax.Array | None = None
+        self._rep_sq: jax.Array | None = None
+        self._rng = np.random.default_rng(0x5EED)
+
+    @property
+    def num_reps(self) -> int:
+        return len(self.rep_ids)
+
+    def refresh(self, live_ids: np.ndarray, x_host: np.ndarray, num_reps: int):
+        """Resample representatives from the live id set."""
+        live_ids = np.asarray(live_ids)
+        if len(live_ids) == 0:
+            self.rep_ids = np.zeros((0,), np.int32)
+            self._rep_rows = None
+            return
+        num = int(min(max(num_reps, 1), len(live_ids)))
+        sel = (
+            live_ids
+            if num >= len(live_ids)
+            else self._rng.choice(live_ids, size=num, replace=False)
+        )
+        self.set_representatives(np.sort(sel).astype(np.int32), x_host)
+
+    def set_representatives(self, rep_ids: np.ndarray, x_host: np.ndarray):
+        self.rep_ids = np.asarray(rep_ids, dtype=np.int32)
+        rows = jnp.asarray(x_host[self.rep_ids])
+        self._rep_rows = rows
+        self._rep_sq = D.sq_norms(rows)
+
+    def seeds_for(self, queries: jax.Array, seed_size: int | None = None) -> jax.Array:
+        """queries [B, D_pad] -> seed ids [B, S] int32 (device)."""
+        s = int(seed_size or self.seed_size)
+        if self._rep_rows is None or self.num_reps == 0:
+            return jnp.full((queries.shape[0], s), -1, jnp.int32)
+        d = D.pairwise(self.metric, queries, self._rep_rows, x_sqnorm=self._rep_sq)
+        s_eff = min(s, self.num_reps)
+        _, idx = jax.lax.top_k(-d, s_eff)
+        ids = jnp.take(jnp.asarray(self.rep_ids), idx, axis=0)
+        if s_eff < s:
+            ids = jnp.concatenate(
+                [ids, jnp.full((queries.shape[0], s - s_eff), -1, jnp.int32)], axis=1
+            )
+        return ids
+
+    def state_dict(self) -> dict:
+        return {"rep_ids": self.rep_ids, "seed_size": self.seed_size}

@@ -1,0 +1,248 @@
+"""VectorStore — the object space (reference layer 2) as dense arrays.
+
+Replaces the reference's per-object heap allocations
+(``Object``/``ObjectRepository``/``ObjectSpaceRepository``, reference
+lib/NGT/ObjectRepository.h, ObjectSpaceRepository.h) with one host numpy
+matrix (authoritative, append-in-place with geometric growth) mirrored to a
+device HBM array on demand.  Keeps the reference's conventions:
+
+* IDs are 1-based; slot 0 is a dummy row (reference Common.h:1711 inserts a
+  null at index 0).  The validity mask makes row 0 (and removed rows) never
+  match a search.
+* removed IDs go to a free list and are reused by later inserts
+  (``Repository::removedList``, reference Common.h:1747-1774).
+* normalized metrics L2-normalize at insertion
+  (reference ObjectSpaceRepository.h:560-618).
+* feature dim is zero-padded to the TPU lane width (the analogue of
+  ``getPaddedDimension``, reference ObjectSpace.h:249).
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ngt_tpu.ops import distances as D
+from ngt_tpu.ops.bruteforce import pad_dim
+from ngt_tpu.properties import DistanceType, ObjectType
+
+
+_OBJECT_DTYPES = {
+    ObjectType.FLOAT: np.float32,
+    ObjectType.UINT8: np.uint8,
+    ObjectType.BFLOAT16: np.float32,  # host copy in f32; device mirror bf16
+}
+
+
+class VectorStore:
+    def __init__(
+        self,
+        dimension: int,
+        metric: DistanceType = DistanceType.L2,
+        object_type: ObjectType = ObjectType.FLOAT,
+        capacity: int = 1024,
+        pad_multiple: int = 128,
+    ):
+        if dimension <= 0:
+            raise ValueError("dimension must be positive")
+        self.dimension = int(dimension)
+        self.metric = DistanceType(metric)
+        self.object_type = ObjectType(object_type)
+        self.pad_multiple = pad_multiple
+        self.d_pad = pad_dim(dimension, pad_multiple)
+        self._dtype = _OBJECT_DTYPES[self.object_type]
+
+        cap = max(int(capacity), 16)
+        self._x = np.zeros((cap, self.d_pad), dtype=self._dtype)
+        self._valid = np.zeros((cap,), dtype=bool)
+        self._size = 1  # next fresh slot; slot 0 is the dummy
+        self._free: list[int] = []  # min-heap of reusable ids
+        self._device_x: Optional[jax.Array] = None
+        self._device_valid: Optional[jax.Array] = None
+        self._device_sqnorm: Optional[jax.Array] = None
+        self._device_rows = 0  # rows already mirrored (prefix is immutable-ish)
+        self._dirty = True
+
+        # the reference normalizes only the "Normalized*" metrics at insert
+        # (ObjectSpaceRepository::setDistanceType, ObjectSpaceRepository.h:346-441)
+        # and computes Cosine/Angle with explicit norms (PrimitiveComparator.h:487).
+        self.normalize = self.metric in (
+            DistanceType.NORMALIZED_L2,
+            DistanceType.NORMALIZED_COSINE,
+            DistanceType.NORMALIZED_ANGLE,
+        )
+
+    # ----------------------------------------------------------- sizing ----
+    def __len__(self) -> int:
+        """Number of live objects."""
+        return int(self._valid.sum())
+
+    @property
+    def repository_size(self) -> int:
+        """1 + highest slot ever used (reference Repository::size semantics)."""
+        return self._size
+
+    def _ensure_capacity(self, n: int) -> None:
+        if n <= self._x.shape[0]:
+            return
+        cap = self._x.shape[0]
+        while cap < n:
+            cap *= 2
+        x = np.zeros((cap, self.d_pad), dtype=self._dtype)
+        x[: self._x.shape[0]] = self._x
+        self._x = x
+        valid = np.zeros((cap,), dtype=bool)
+        valid[: self._valid.shape[0]] = self._valid
+        self._valid = valid
+        self._device_x = None  # device mirror must be re-shaped
+        self._device_rows = 0
+        self._dirty = True
+
+    # ---------------------------------------------------------- mutation ----
+    def _prepare(self, v: np.ndarray) -> np.ndarray:
+        v = np.asarray(v)
+        if v.ndim == 1:
+            v = v[None, :]
+        if v.shape[-1] != self.dimension:
+            raise ValueError(
+                f"dimension mismatch: got {v.shape[-1]}, want {self.dimension}"
+            )
+        out = np.zeros((v.shape[0], self.d_pad), dtype=self._dtype)
+        if self.normalize:
+            vf = v.astype(np.float64)
+            norms = np.linalg.norm(vf, axis=-1, keepdims=True)
+            if np.any(norms == 0):
+                raise ValueError("cannot normalize a zero vector")
+            out[:, : self.dimension] = (vf / norms).astype(self._dtype)
+        else:
+            out[:, : self.dimension] = v.astype(self._dtype)
+        return out
+
+    def insert(self, v: np.ndarray) -> int:
+        """Insert one vector; returns its 1-based id (reuses removed slots,
+        reference Common.h:1747-1760)."""
+        row = self._prepare(v)[0]
+        if self._free:
+            oid = heapq.heappop(self._free)
+        else:
+            oid = self._size
+            self._size += 1
+            self._ensure_capacity(self._size)
+        self._x[oid] = row
+        self._valid[oid] = True
+        self._dirty = True
+        return oid
+
+    def batch_insert(self, vs: np.ndarray) -> np.ndarray:
+        rows = self._prepare(vs)
+        n = rows.shape[0]
+        ids = np.empty((n,), dtype=np.int32)
+        i = 0
+        while self._free and i < n:
+            ids[i] = heapq.heappop(self._free)
+            i += 1
+        fresh = n - i
+        if fresh:
+            start = self._size
+            self._size += fresh
+            self._ensure_capacity(self._size)
+            ids[i:] = np.arange(start, start + fresh, dtype=np.int32)
+        self._x[ids] = rows
+        self._valid[ids] = True
+        self._dirty = True
+        return ids
+
+    def remove(self, oid: int) -> None:
+        if not (0 < oid < self._size) or not self._valid[oid]:
+            raise KeyError(f"no such object id: {oid}")
+        self._valid[oid] = False
+        self._x[oid] = 0
+        heapq.heappush(self._free, int(oid))
+        self._dirty = True
+
+    def get(self, oid: int) -> np.ndarray:
+        if not (0 < oid < self._size) or not self._valid[oid]:
+            raise KeyError(f"no such object id: {oid}")
+        return np.array(self._x[oid, : self.dimension])
+
+    def contains(self, oid: int) -> bool:
+        return 0 < oid < self._size and bool(self._valid[oid])
+
+    # ------------------------------------------------------------ device ----
+    def device_arrays(self):
+        """(x [cap, d_pad], valid [cap], sqnorm [cap] or None) on device.
+
+        The whole store is re-uploaded when dirty; incremental row scatter is
+        an optimization applied by the build loop, which owns its own device
+        mirrors."""
+        if self._dirty or self._device_x is None:
+            x = self._x
+            if self.object_type == ObjectType.BFLOAT16:
+                dx = jnp.asarray(x, dtype=jnp.bfloat16)
+            else:
+                dx = jnp.asarray(x)
+            self._device_x = dx
+            self._device_valid = jnp.asarray(self._valid)
+            if self.metric in (
+                DistanceType.L2,
+                DistanceType.COSINE,
+                DistanceType.ANGLE,
+                DistanceType.POINCARE,
+            ):
+                self._device_sqnorm = D.sq_norms(dx)
+            else:
+                self._device_sqnorm = None
+            self._dirty = False
+        return self._device_x, self._device_valid, self._device_sqnorm
+
+    def prepare_queries(self, q: np.ndarray) -> jax.Array:
+        """Pad (and for normalized metrics, normalize) queries
+        (reference allocates query objects the same way it allocates stored
+        objects; ObjectSpaceRepository.h:560-618)."""
+        q = np.asarray(q, dtype=np.float32)
+        if q.ndim == 1:
+            q = q[None, :]
+        if q.shape[-1] != self.dimension:
+            raise ValueError(
+                f"query dimension mismatch: got {q.shape[-1]}, want {self.dimension}"
+            )
+        if self.normalize:
+            norms = np.linalg.norm(q, axis=-1, keepdims=True)
+            norms[norms == 0] = 1.0
+            q = q / norms
+        out = np.zeros((q.shape[0], self.d_pad), dtype=self._dtype)
+        out[:, : self.dimension] = q.astype(self._dtype)
+        return jnp.asarray(out)
+
+    # -------------------------------------------------------- persistence ----
+    def state_dict(self) -> dict:
+        return {
+            "x": self._x[: self._size],
+            "valid": self._valid[: self._size],
+            "free": np.asarray(sorted(self._free), dtype=np.int32),
+            "dimension": self.dimension,
+            "metric": int(self.metric),
+            "object_type": int(self.object_type),
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "VectorStore":
+        vs = cls(
+            dimension=int(state["dimension"]),
+            metric=DistanceType(int(state["metric"])),
+            object_type=ObjectType(int(state["object_type"])),
+            capacity=max(int(state["x"].shape[0]), 16),
+        )
+        n = state["x"].shape[0]
+        vs._ensure_capacity(n)
+        vs._x[:n] = state["x"]
+        vs._valid[:n] = state["valid"]
+        vs._size = n
+        vs._free = [int(i) for i in state["free"]]
+        heapq.heapify(vs._free)
+        vs._dirty = True
+        return vs

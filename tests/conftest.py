@@ -1,0 +1,50 @@
+"""Test env: force CPU with 8 virtual devices so multi-chip sharding paths
+are exercised without TPU hardware. Must run before jax is imported."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+# The axon sitecustomize registers the TPU backend at interpreter startup and
+# pins JAX_PLATFORMS=axon, so the env var alone is not enough — override via
+# jax.config before any backend is instantiated.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def rng():
+    # function-scoped: every test gets the same deterministic stream
+    # regardless of execution order
+    return np.random.default_rng(42)
+
+
+SIFT_5K = "/root/reference/data/sift-dataset-5k.tsv"
+
+
+def load_sift_5k(limit=None):
+    """Bundled 5k x 128 SIFT fixture from the reference's data dir (reused as
+    data, not code). Falls back to synthetic if unavailable."""
+    if os.path.exists(SIFT_5K):
+        data = np.loadtxt(SIFT_5K, delimiter="\t", dtype=np.float32)
+        if data.ndim == 1:
+            data = data[None]
+        data = data[:, :128]  # col 129 is a row label, not a feature
+        return data[:limit] if limit else data
+    r = np.random.default_rng(0)
+    n = limit or 5000
+    return r.normal(size=(n, 128)).astype(np.float32) * 20 + 100
+
+
+@pytest.fixture(scope="session")
+def sift5k():
+    return load_sift_5k()

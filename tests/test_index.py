@@ -1,0 +1,174 @@
+"""End-to-end index tests: build -> search recall, persistence, mutation.
+
+Mirrors the reference's de-facto integration tests: samples/* smoke flows
+plus `ngt info -m v` structural verification (SURVEY.md §4).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import ngt_tpu
+from ngt_tpu.ops.bruteforce import recall_at_k
+
+
+def _build(data, **kw):
+    idx = ngt_tpu.create(None, dimension=data.shape[1], **kw)
+    idx.batch_insert(data, build=True)
+    return idx
+
+
+def test_anng_recall_random(rng):
+    data = rng.normal(size=(2000, 24)).astype(np.float32)
+    queries = rng.normal(size=(64, 24)).astype(np.float32)
+    idx = _build(data)
+    assert idx.verify() == []
+    ids, dists = idx.batch_search(queries, size=10, epsilon=0.1)
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+    rec = recall_at_k(ids, np.asarray(gt_ids), 10)
+    assert rec >= 0.90, f"ANNG recall@10 {rec}"
+
+
+def test_anng_recall_sift5k(sift5k):
+    data = sift5k
+    queries = data[::50] + np.float32(0.5)
+    idx = _build(data)
+    ids, _ = idx.batch_search(queries, size=10, epsilon=0.1)
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+    rec = recall_at_k(ids, np.asarray(gt_ids), 10)
+    assert rec >= 0.92, f"SIFT5k recall@10 {rec}"
+
+
+def test_epsilon_increases_recall(rng):
+    data = rng.normal(size=(1500, 16)).astype(np.float32)
+    queries = rng.normal(size=(32, 16)).astype(np.float32)
+    idx = _build(data)
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+    recalls = []
+    for eps in (0.0, 0.1, 0.3):
+        ids, _ = idx.batch_search(queries, size=10, epsilon=eps)
+        recalls.append(recall_at_k(ids, np.asarray(gt_ids), 10))
+    assert recalls[-1] >= recalls[0]
+    assert recalls[-1] >= 0.9
+
+
+def test_single_search_and_linear(rng):
+    data = rng.normal(size=(500, 12)).astype(np.float32)
+    idx = _build(data)
+    q = data[123]
+    res = idx.search(q, size=5, epsilon=0.2)
+    assert res[0][0] == 123 and res[0][1] < 1e-4
+    lin = idx.linear_search(q, size=5)
+    assert lin[0][0] == 123
+    ids_only = idx.search(q, size=5, with_distance=False)
+    assert ids_only[0] == 123
+
+
+def test_incremental_append(rng):
+    """append -> build -> append -> build resumes (Index.cpp:648-651)."""
+    data = rng.normal(size=(800, 16)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=16)
+    idx.batch_insert(data[:500], build=True)
+    idx.batch_insert(data[500:], build=True)
+    assert len(idx) == 800
+    assert idx.verify() == []
+    q = data[650]
+    res = idx.search(q, size=3, epsilon=0.2)
+    assert res[0][0] == 650
+
+
+def test_insert_then_build(rng):
+    data = rng.normal(size=(300, 8)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=8)
+    ids = [idx.insert(v) for v in data]
+    assert ids == list(range(300))
+    idx.build_index()
+    assert idx.verify() == []
+    res = idx.search(data[42], size=1)
+    assert res[0][0] == 42
+
+
+def test_remove_and_reuse(rng):
+    data = rng.normal(size=(400, 8)).astype(np.float32)
+    idx = _build(data)
+    idx.remove(100)
+    assert len(idx) == 399
+    with pytest.raises(KeyError):
+        idx.get_object(100)
+    # removed object never comes back from searches
+    ids, _ = idx.batch_search(data[100][None, :], size=5, epsilon=0.3)
+    assert 100 not in ids[0].tolist()
+    assert idx.verify() == []
+    # slot reuse (Repository::removedList, Common.h:1747-1760)
+    new_id = idx.insert(rng.normal(size=8).astype(np.float32))
+    assert new_id == 100
+    idx.build_index()
+    assert idx.verify() == []
+
+
+def test_save_open_roundtrip(tmp_path, rng):
+    data = rng.normal(size=(600, 16)).astype(np.float32)
+    path = os.path.join(tmp_path, "idx")
+    idx = ngt_tpu.create(path, dimension=16)
+    idx.batch_insert(data, build=True)
+    idx.save()
+    reopened = ngt_tpu.open_index(path)
+    assert len(reopened) == 600
+    assert reopened.verify() == []
+    q = data[77]
+    a = idx.search(q, size=5, epsilon=0.2)
+    b = reopened.search(q, size=5, epsilon=0.2)
+    assert a[0][0] == b[0][0] == 77
+    assert reopened.prop.distance_type == idx.prop.distance_type
+    ngt_tpu.Index.destroy(path)
+    assert not os.path.exists(path)
+
+
+def test_prf_interop(tmp_path):
+    """prf keys match the reference's property names (Index.h:105-190)."""
+    path = os.path.join(tmp_path, "idx")
+    idx = ngt_tpu.create(
+        path, dimension=32, edge_size_for_creation=12, distance_type="Cosine"
+    )
+    text = open(os.path.join(path, "prf")).read()
+    assert "Dimension\t32" in text
+    assert "EdgeSizeForCreation\t12" in text
+    assert "DistanceType\t4" in text  # Cosine = 4 (ObjectSpace.h:172)
+    p = ngt_tpu.Property.load_dir(path)
+    assert p.dimension == 32
+    assert p.distance_type == ngt_tpu.DistanceType.COSINE
+
+
+def test_cosine_metric_index(rng):
+    data = rng.normal(size=(1000, 20)).astype(np.float32)
+    queries = rng.normal(size=(16, 20)).astype(np.float32)
+    idx = _build(data, distance_type="Cosine")
+    ids, _ = idx.batch_search(queries, size=10, epsilon=0.15)
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+    rec = recall_at_k(ids, np.asarray(gt_ids), 10)
+    assert rec >= 0.9, f"cosine recall {rec}"
+
+
+def test_uint8_hamming_index(rng):
+    data = rng.integers(0, 256, size=(500, 16), dtype=np.uint8)
+    idx = ngt_tpu.create(
+        None, dimension=16, distance_type="Hamming", object_type="Byte"
+    )
+    idx.batch_insert(data, build=True)
+    res = idx.search(data[33].astype(np.float32), size=3, epsilon=0.3)
+    assert res[0][0] == 33 and res[0][1] == 0.0
+
+
+def test_export_import(tmp_path, rng):
+    import io
+
+    data = rng.normal(size=(200, 8)).astype(np.float32)
+    idx = _build(data)
+    buf = io.StringIO()
+    idx.export_index(buf)
+    buf.seek(0)
+    idx2 = ngt_tpu.Index.import_index(buf)
+    assert len(idx2) == 200
+    q = data[10]
+    assert idx2.search(q, size=1)[0][0] == 10
