@@ -46,6 +46,53 @@ def _scatter_rows(arr, idx, vals):
     return arr.at[idx].set(vals)
 
 
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3))
+def _scatter_all(x, valid, sqnorm, nbr, obj_idx, obj_rows, obj_valid,
+                 obj_sq, nbr_idx, nbr_rows):
+    """One fused donated update of every device mirror array — a single
+    host->device round trip per build batch (the axon-tunneled TPU pays
+    ~0.1-1 s per dispatch, so call count dominates small-batch builds)."""
+    x = x.at[obj_idx].set(obj_rows)
+    valid = valid.at[obj_idx].set(obj_valid)
+    if sqnorm is not None:
+        sqnorm = sqnorm.at[obj_idx].set(obj_sq)
+    nbr = nbr.at[nbr_idx].set(nbr_rows)
+    return x, valid, sqnorm, nbr
+
+
+def _fused_insert_search(
+    x, nbr, valid, sqnorm, rep_rows, rep_sq, rep_ids, queries, qvalid, eps,
+    *, metric, k, kb, s, width, hash_bits, exact_hash,
+):
+    """Seed scoring + insertion search + intra-batch pairwise top-k as ONE
+    device program (the whole device side of a build batch)."""
+    # seeds from representatives (one matmul; replaces tree descent)
+    sd = D.pairwise(metric, queries, rep_rows, x_sqnorm=rep_sq)
+    _, si = jax.lax.top_k(-sd, min(s, rep_rows.shape[0]))
+    seeds = jnp.take(rep_ids, si, axis=0)
+    res = graph_search(
+        x, nbr, valid, queries, seeds,
+        metric=metric, k=k, epsilon=eps, width=width,
+        hash_bits=hash_bits, exact_hash=exact_hash, x_sqnorm=sqnorm,
+    )
+    # intra-batch pairwise (reference Index.cpp:687-703); padded/dup rows
+    # are masked via qvalid so they cannot appear as 0-distance neighbors
+    pb = D.pairwise(metric, queries, queries)
+    b = queries.shape[0]
+    eye = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0) == \
+        jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    pb = jnp.where(eye | ~qvalid[None, :], jnp.inf, pb)
+    nbd, nbi = jax.lax.top_k(-pb, kb)
+    return res.ids, res.dists, nbi.astype(jnp.int32), -nbd
+
+
+_fused_insert_search_jit = jax.jit(
+    _fused_insert_search,
+    static_argnames=("metric", "k", "kb", "s", "width", "hash_bits",
+                     "exact_hash"),
+)
+
+
 def _pad_ids(ids: np.ndarray, size: int) -> np.ndarray:
     """Pad an index list to a fixed size by repeating the first element
     (idempotent under scatter) — bounds jit recompiles to log2 buckets."""
@@ -82,10 +129,18 @@ class DeviceMirror:
             DistanceType.POINCARE,
         )
 
+    def _search_valid(self, idx=None):
+        # a search may only return indexed objects (the reference's graph
+        # search traverses graph nodes; unindexed repository entries are
+        # unreachable) — so validity = live object AND graph node
+        cap = self.store._x.shape[0]
+        v = self.store._valid[:cap] & self.graph._has_node[:cap]
+        return v if idx is None else v[idx]
+
     def sync_full(self):
         self.graph.ensure_capacity(self.store._x.shape[0])
         self.x = jnp.asarray(self.store._x)
-        self.valid = jnp.asarray(self.store._valid)
+        self.valid = jnp.asarray(self._search_valid())
         self.nbr = jnp.asarray(self.graph.nbr_ids[: self.store._x.shape[0]])
         self.sqnorm = D.sq_norms(self.x) if self._wants_sqnorm() else None
         self.capacity = self.store._x.shape[0]
@@ -94,23 +149,31 @@ class DeviceMirror:
         if self.x is None or self.capacity != self.store._x.shape[0]:
             self.sync_full()
             return
-        if obj_ids is not None and len(obj_ids):
-            pad = _pad_ids(obj_ids, _bucket(len(obj_ids)))
-            idx = jnp.asarray(pad)
-            self.x = _scatter_rows(self.x, idx, jnp.asarray(self.store._x[pad]))
-            self.valid = _scatter_rows(
-                self.valid, idx, jnp.asarray(self.store._valid[pad])
-            )
-            if self.sqnorm is not None:
-                rows = self.store._x[pad].astype(np.float32)
-                self.sqnorm = _scatter_rows(
-                    self.sqnorm, idx, jnp.asarray((rows * rows).sum(-1))
+        if obj_ids is None or len(obj_ids) == 0:
+            if nbr_ids is not None and len(nbr_ids):
+                pad = _pad_ids(np.asarray(nbr_ids), _bucket(len(nbr_ids)))
+                self.nbr = _scatter_rows(
+                    self.nbr, jnp.asarray(pad), jnp.asarray(self.graph.nbr_ids[pad])
                 )
-        if nbr_ids is not None and len(nbr_ids):
-            pad = _pad_ids(np.asarray(nbr_ids), _bucket(len(nbr_ids)))
-            self.nbr = _scatter_rows(
-                self.nbr, jnp.asarray(pad), jnp.asarray(self.graph.nbr_ids[pad])
-            )
+            return
+        opad = _pad_ids(np.asarray(obj_ids), _bucket(len(obj_ids)))
+        npad = _pad_ids(
+            np.asarray(nbr_ids if nbr_ids is not None and len(nbr_ids) else obj_ids),
+            _bucket(len(nbr_ids) if nbr_ids is not None and len(nbr_ids) else len(obj_ids)),
+        )
+        rows = self.store._x[opad]
+        sq = (
+            (rows.astype(np.float32) ** 2).sum(-1)
+            if self.sqnorm is not None
+            else None
+        )
+        self.x, self.valid, self.sqnorm, self.nbr = _scatter_all(
+            self.x, self.valid, self.sqnorm, self.nbr,
+            jnp.asarray(opad), jnp.asarray(rows),
+            jnp.asarray(self._search_valid(opad)),
+            jnp.asarray(sq) if sq is not None else None,
+            jnp.asarray(npad), jnp.asarray(self.graph.nbr_ids[npad]),
+        )
 
 
 def _hash_bits_for(capacity: int) -> tuple[int, bool]:
@@ -178,47 +241,51 @@ def build_anng(
 
     next_seed_refresh = max(2 * graph.node_count(), 1024)
 
+    if seeder.num_reps == 0 and graph.node_count() > 0:
+        live = np.nonzero(graph._has_node)[0].astype(np.int32)
+        seeder.refresh(live, store._x, num_reps=min(4096, len(live)))
+
+    rep_rows = jnp.asarray(store._x[seeder.rep_ids])
+    rep_sq = (
+        D.sq_norms(rep_rows) if mirror.sqnorm is not None else None
+    )
+    rep_ids_dev = jnp.asarray(seeder.rep_ids)
+
     for off in range(start, len(pending), batch):
         chunk = pending[off : off + batch]
         bsz = len(chunk)
         bpad = _bucket(bsz)
         qrows = store._x[_pad_ids(chunk, bpad)]
-        queries = jnp.asarray(qrows)
+        qvalid = np.zeros((bpad,), bool)
+        qvalid[:bsz] = True
 
-        seeds = seeder.seeds_for(queries, seed_size=max(prop.seed_size, 10))
         bits, exact = _hash_bits_for(mirror.capacity)
-        res = graph_search(
-            mirror.x,
-            mirror.nbr,
-            mirror.valid,
-            queries,
-            seeds,
-            metric=metric,
-            k=k,
-            epsilon=eps,
-            width=max(32, 2 * k),
-            edge_size=0,
-            hash_bits=bits,
-            exact_hash=exact,
-            x_sqnorm=mirror.sqnorm,
+        kb = max(min(k, bpad - 1), 1)
+        f_ids, f_d, b_ids, b_d = _fused_insert_search_jit(
+            mirror.x, mirror.nbr, mirror.valid, mirror.sqnorm,
+            rep_rows, rep_sq, rep_ids_dev,
+            jnp.asarray(qrows), jnp.asarray(qvalid), eps,
+            metric=metric, k=k, kb=kb, s=max(prop.seed_size, 10),
+            width=max(32, 2 * k), hash_bits=bits, exact_hash=exact,
         )
-        found_i = np.asarray(res.ids)[:bsz]
-        found_d = np.asarray(res.dists)[:bsz]
+        f_ids, f_d, b_ids, b_d = jax.device_get((f_ids, f_d, b_ids, b_d))
+        found_i, found_d = f_ids[:bsz], f_d[:bsz]
 
-        # ---- intra-batch pairwise merge (reference Index.cpp:687-703)
+        # ---- intra-batch pairwise merge (reference Index.cpp:687-703):
+        # batch-local indices -> global chunk ids; inf rows masked
         if bsz > 1:
-            pb = np.array(
-                D.pairwise(metric, queries, queries)
-            )[:bsz, :bsz]
-            np.fill_diagonal(pb, INF)
-            kb = min(k, bsz - 1)
-            bi = np.argpartition(pb, kb - 1, axis=1)[:, :kb]
-            bd = np.take_along_axis(pb, bi, axis=1)
-            cand_i = np.concatenate([found_i, chunk[bi].astype(np.int32)], axis=1)
-            cand_d = np.concatenate([found_d, bd.astype(np.float32)], axis=1)
+            bi = np.clip(b_ids[:bsz], 0, bsz - 1)
+            bd = b_d[:bsz].astype(np.float32)
+            cand_i = np.concatenate(
+                [found_i, np.where(np.isfinite(bd), chunk[bi], -1)], axis=1
+            )
+            cand_d = np.concatenate([found_d, bd], axis=1)
         else:
             cand_i, cand_d = found_i, found_d
 
+        # never link a node to itself (possible when a removed slot is
+        # reused and stale representatives alias the new object)
+        cand_i = np.where(cand_i == chunk[:, None], -1, cand_i)
         cand_d = np.where(cand_i >= 0, cand_d, INF)
         order = np.argsort(cand_d, axis=1, kind="stable")[:, :k]
         sel_i = np.take_along_axis(cand_i, order, axis=1)
@@ -242,6 +309,11 @@ def build_anng(
             live = np.nonzero(graph._has_node)[0].astype(np.int32)
             seeder.refresh(live, store._x, num_reps=min(4096, len(live)))
             next_seed_refresh = 2 * graph.node_count()
+            rep_rows = jnp.asarray(store._x[seeder.rep_ids])
+            rep_sq = (
+                D.sq_norms(rep_rows) if mirror.sqnorm is not None else None
+            )
+            rep_ids_dev = jnp.asarray(seeder.rep_ids)
         if progress is not None:
             progress(off + bsz, len(pending))
 

@@ -1,0 +1,278 @@
+"""ONNG construction: bulk graph rewrites + shortcut (path) reduction.
+
+TPU redesign of ``GraphReconstructor`` (reference
+lib/NGT/GraphReconstructor.h).  The reference mutates per-node vectors with
+OpenMP loops; here every pass is a whole-graph array operation:
+
+* ``convert_to_anng`` — add all reverse edges, sort, dedupe
+  (reference :389-423);
+* ``reconstruct_graph`` — keep the best ``out_edges`` per row (rows with
+  fewer edges keep what they have), add the reverses of each row's first
+  ``in_edges`` ORIGINAL edges, then sort + dedupe; marks the result ONNG
+  (reference :425-561);
+* ``adjust_paths`` — shortcut reduction (reference
+  ``adjustPathsEffectively`` :197-386): an edge u->w is removable when some
+  earlier neighbor v of u has w in its list with both legs shorter
+  (d_uv < d_uw and d_vw < d_uw); candidates are detected for the whole graph
+  with one blocked device program, then edges are re-inserted rank-by-rank
+  (shortest first) skipping those whose 2-hop path survives.  Deviation from
+  the reference: within one rank the keep/drop decisions are made in
+  parallel (the reference processes ids serially inside a rank), which can
+  keep an edge the reference would drop — never the reverse, so recall can
+  only match or improve at slightly higher degree;
+* ``refine_anng`` — re-search every object and merge the results as new
+  out/in edges (reference :803-924), powered by the batched searcher.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ngt_tpu.graph.storage import GraphStore
+
+INF = np.float32(np.inf)
+
+
+# --------------------------------------------------------------------------
+# bulk rewrites (host numpy; these are offline passes over int/float arrays)
+# --------------------------------------------------------------------------
+
+
+def _rows_to_lists(nbr: np.ndarray, dist: np.ndarray, deg: np.ndarray):
+    n = nbr.shape[0]
+    src = np.repeat(np.arange(n, dtype=np.int64), deg)
+    col = np.concatenate([np.arange(d) for d in deg]) if len(deg) else np.array([], np.int64)
+    return src, nbr[src, col], dist[src, col]
+
+
+def _normalize_rows(
+    pairs_src: np.ndarray, pairs_dst: np.ndarray, pairs_d: np.ndarray,
+    n: int, e_max: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Group (src -> dst, d) pairs into sorted, deduped fixed-width rows —
+    the vectorized 'sort + erase duplicates' normalization pass
+    (reference GraphReconstructor.h:516-553)."""
+    # sort by (src, dist, dst); dedupe by (src, dst) keeping the shortest
+    order = np.lexsort((pairs_dst, pairs_d, pairs_src))
+    s, t, d = pairs_src[order], pairs_dst[order], pairs_d[order]
+    dd_order = np.lexsort((t, s))
+    s2, t2 = s[dd_order], t[dd_order]
+    first = np.ones(len(s2), bool)
+    first[1:] = (s2[1:] != s2[:-1]) | (t2[1:] != t2[:-1])
+    keep = np.zeros(len(s), bool)
+    keep[dd_order] = first
+    s, t, d = s[keep], t[keep], d[keep]
+    # re-sort by (src, dist, dst) after dedupe
+    order = np.lexsort((t, d, s))
+    s, t, d = s[order], t[order], d[order]
+
+    nbr = np.full((n, e_max), -1, np.int32)
+    dist = np.full((n, e_max), INF, np.float32)
+    if len(s):
+        uniq, starts, counts = np.unique(s, return_index=True, return_counts=True)
+        slot = np.arange(len(s)) - np.repeat(starts, counts)
+        ok = slot < e_max
+        nbr[s[ok], slot[ok]] = t[ok]
+        dist[s[ok], slot[ok]] = d[ok]
+    deg = (nbr >= 0).sum(axis=1).astype(np.int32)
+    return nbr, dist, deg
+
+
+def convert_to_anng(graph: GraphStore, n: int, e_max: int | None = None) -> GraphStore:
+    """KNNG -> ANNG: add all reverse edges (reference :389-423)."""
+    e_max = e_max or graph.e_max
+    src, dst, d = _rows_to_lists(
+        graph.nbr_ids[:n], graph.nbr_dist[:n], graph.degree[:n]
+    )
+    ps = np.concatenate([src, dst.astype(np.int64)])
+    pt = np.concatenate([dst, src.astype(np.int32)])
+    pd = np.concatenate([d, d])
+    nbr, dist, deg = _normalize_rows(ps, pt, pd, n, e_max)
+    out = GraphStore(max_edges=e_max, capacity=max(n, 16))
+    out.nbr_ids[:n], out.nbr_dist[:n], out.degree[:n] = nbr, dist, deg
+    out._has_node[:n] = graph._has_node[:n]
+    return out
+
+
+def reconstruct_graph(
+    graph: GraphStore, n: int, out_edges: int, in_edges: int,
+    e_max: int | None = None,
+) -> GraphStore:
+    """ONNG degree adjustment (reference reconstructGraph, :425-561)."""
+    if e_max is None:
+        e_max = ((out_edges + in_edges + 7) // 8) * 8
+    deg = graph.degree[:n]
+    nbr = graph.nbr_ids[:n]
+    dist = graph.nbr_dist[:n]
+    col = np.arange(nbr.shape[1])[None, :]
+
+    # forward edges: best `out_edges`; rows with fewer keep everything
+    fw_keep = col < np.minimum(deg, out_edges)[:, None]
+    short = deg < out_edges
+    fw_keep[short] = col < deg[short][:, None]
+    src_f = np.repeat(np.arange(n, dtype=np.int64), fw_keep.sum(axis=1))
+    dst_f = nbr[fw_keep]
+    d_f = dist[fw_keep]
+
+    # reverse edges from each row's first `in_edges` ORIGINAL edges
+    rv_keep = col < np.minimum(deg, in_edges)[:, None]
+    src_r = nbr[rv_keep].astype(np.int64)
+    dst_r = np.repeat(np.arange(n, dtype=np.int32), rv_keep.sum(axis=1))
+    d_r = dist[rv_keep]
+
+    ps = np.concatenate([src_f, src_r])
+    pt = np.concatenate([dst_f.astype(np.int32), dst_r])
+    pd = np.concatenate([d_f, d_r])
+    nbr2, dist2, deg2 = _normalize_rows(ps, pt, pd, n, e_max)
+    out = GraphStore(max_edges=e_max, capacity=max(n, 16))
+    out.nbr_ids[:n], out.nbr_dist[:n], out.degree[:n] = nbr2, dist2, deg2
+    out._has_node[:n] = graph._has_node[:n]
+    return out
+
+
+# --------------------------------------------------------------------------
+# shortcut reduction (path adjustment)
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("e",))
+def _detect_shortcuts_block(nbr_blk, dist_blk, nbr_all, dist_all, e):
+    """For a block of rows: mark edges (u, rank_w) having a 2-hop path
+    u->v->w with d_uv < d_uw and d_vw < d_uw, v an earlier-or-any neighbor
+    of u.  Returns [blk, e, e] bool: axis1 = v rank, axis2 = w rank."""
+    blk = nbr_blk.shape[0]
+    v_ids = nbr_blk[:, :e]                              # [blk, e]
+    safe_v = jnp.clip(v_ids, 0, nbr_all.shape[0] - 1)
+    v_nbrs = jnp.take(nbr_all, safe_v, axis=0)[:, :, :e]   # [blk, e, e] w' ids
+    v_dists = jnp.take(dist_all, safe_v, axis=0)[:, :, :e]
+    # match w' against u's own neighbor list -> position of w in u's row
+    w_ids = nbr_blk[:, :e]                              # [blk, e]
+    # [blk, e_v, e_w', e_u]
+    eq = v_nbrs[:, :, :, None] == w_ids[:, None, None, :]
+    eq &= (v_nbrs >= 0)[:, :, :, None] & (w_ids >= 0)[:, None, None, :]
+    d_uv = dist_blk[:, :e]                              # [blk, e_v]
+    d_uw = dist_blk[:, :e]                              # [blk, e_u] (=e_w pos)
+    cond = (d_uv[:, :, None, None] < d_uw[:, None, None, :]) & (
+        v_dists[:, :, :, None] < d_uw[:, None, None, :]
+    )
+    hit = jnp.any(eq & cond, axis=2)                    # [blk, e_v, e_u]
+    # don't count v == w (an edge is not its own shortcut)
+    vw_same = v_ids[:, :, None] == w_ids[:, None, :]
+    hit &= ~vw_same
+    return hit                                          # [blk, v_rank, w_rank]
+
+
+def adjust_paths(
+    graph: GraphStore, n: int, min_edges: int = 0, block: int = 512,
+) -> GraphStore:
+    """Shortcut reduction (reference adjustPathsEffectively, :197-386)."""
+    e = int(graph.degree[:n].max()) if n else 0
+    if e == 0:
+        return graph
+    nbr = graph.nbr_ids[:n]
+    dist = graph.nbr_dist[:n]
+    deg = graph.degree[:n]
+
+    nbr_dev = jnp.asarray(graph.nbr_ids[:n])
+    dist_dev = jnp.asarray(graph.nbr_dist[:n])
+
+    # phase 1: candidate detection, blocked over nodes, on device
+    cand = np.zeros((n, e, e), bool)  # [u, v_rank, w_rank]
+    for s in range(0, n, block):
+        t = min(s + block, n)
+        blk_n = jnp.asarray(nbr[s:t])
+        blk_d = jnp.asarray(dist[s:t])
+        cand[s:t] = np.asarray(
+            _detect_shortcuts_block(blk_n, blk_d, nbr_dev, dist_dev, e)
+        )
+
+    # phase 2: rank-ordered re-insertion (vectorized per rank).
+    # kept[u, r] - whether u's rank-r edge survives.
+    kept = np.zeros((n, e), bool)
+    kept_count = np.zeros(n, np.int32)
+    # position of w (= u's rank-r edge target) inside v's row, for the
+    # path-exists test kept[v, pos_vw]
+    for r in range(e):
+        has_edge = r < deg
+        if not has_edge.any():
+            break
+        # allow dropping only while enough edges would remain
+        remaining = deg - r
+        can_drop = (kept_count + remaining) > min_edges
+        # does a kept 2-hop path exist? v must be an already-kept edge of u
+        # (ranks < r, kept) and v's edge to w must be kept as well
+        drop = np.zeros(n, bool)
+        us, vr = np.nonzero(cand[:, :, r])
+        if len(us):
+            mask = kept[us, vr]  # u->v kept
+            us2, vr2 = us[mask], vr[mask]
+            if len(us2):
+                v_ids = nbr[us2, vr2]
+                w_ids = nbr[us2, r]
+                # pos of w in v's row
+                pos = np.argmax(nbr[v_ids] == w_ids[:, None], axis=1)
+                vw_ok = (nbr[v_ids, pos] == w_ids) & kept[v_ids, pos]
+                hit_u = np.unique(us2[vw_ok])
+                drop[hit_u] = True
+        drop &= can_drop & has_edge
+        keep_now = has_edge & ~drop
+        kept[:, r] = keep_now
+        kept_count += keep_now.astype(np.int32)
+
+    src, col = np.nonzero(kept)
+    out = GraphStore(max_edges=graph.e_max, capacity=max(n, 16))
+    nbr2, dist2, deg2 = _normalize_rows(
+        src.astype(np.int64), nbr[src, col], dist[src, col], n, graph.e_max
+    )
+    out.nbr_ids[:n], out.nbr_dist[:n], out.degree[:n] = nbr2, dist2, deg2
+    out._has_node[:n] = graph._has_node[:n]
+    return out
+
+
+def refine_anng(index, epsilon: float = 0.1, num_edges: int = 0) -> None:
+    """Re-search every object and rebuild its neighborhood (reference
+    refineANNG, GraphReconstructor.h:803-924) using the batched searcher."""
+    import ngt_tpu.graph.build as B
+
+    store, graph = index.store, index.graph
+    n = store.repository_size
+    live = np.nonzero(store._valid[:n])[0].astype(np.int32)
+    k = num_edges if num_edges > 0 else index.prop.edge_size_for_creation
+    batch = index.prop.device_batch_size
+    mirror = index._ensure_mirror()
+
+    new_i = np.full((n, k), -1, np.int32)
+    new_d = np.full((n, k), INF, np.float32)
+    for s in range(0, len(live), batch):
+        chunk = live[s : s + batch]
+        ids, dists = index.batch_search(
+            store._x[chunk][:, : store.dimension],
+            size=k + 1,  # the object itself comes back first
+            epsilon=epsilon,
+        )
+        ids = np.where(ids >= 0, ids + (1 if index.zero_based else 0), -1)
+        for row, oid in enumerate(chunk):
+            sel = ids[row][ids[row] != oid]
+            seld = dists[row][ids[row] != oid]
+            m = min(len(sel), k)
+            new_i[oid, :m] = sel[:m]
+            new_d[oid, :m] = seld[:m]
+
+    src, col = np.nonzero(new_i >= 0)
+    ps = src.astype(np.int64)
+    pt = new_i[src, col]
+    pd = new_d[src, col]
+    # out-edges + reverse in-edges, normalized
+    ps2 = np.concatenate([ps, pt.astype(np.int64)])
+    pt2 = np.concatenate([pt, ps.astype(np.int32)])
+    pd2 = np.concatenate([pd, pd])
+    nbr2, dist2, deg2 = _normalize_rows(ps2, pt2, pd2, n, graph.e_max)
+    graph.ensure_capacity(n)
+    graph.nbr_ids[:n], graph.nbr_dist[:n], graph.degree[:n] = nbr2, dist2, deg2
+    graph._has_node[:n] = store._valid[:n]
+    index._mirror = None

@@ -70,15 +70,15 @@ def _hash_ids(ids: jax.Array, hash_bits: int, exact: bool) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "metric", "k", "width", "edge_size", "max_iters", "hash_bits",
-        "exact_hash",
+        "metric", "k", "width", "max_iters", "hash_bits",
+        "exact_hash", "scorer",
     ),
 )
 def graph_search(
-    x: jax.Array,            # [N_pad, D_pad] object matrix
+    x: jax.Array,            # [N_pad, D_pad] object matrix (or PQ codes)
     nbr: jax.Array,          # [N_pad, E_max] int32 adjacency, -1 padded
     valid: jax.Array,        # [N_pad] bool — live objects
-    queries: jax.Array,      # [B, D_pad] prepared queries
+    queries: jax.Array,      # [B, D_pad] prepared queries (or PQ LUTs)
     seed_ids: jax.Array,     # [B, S] int32, -1 padded
     *,
     metric: DistanceType,
@@ -86,16 +86,29 @@ def graph_search(
     epsilon: float | jax.Array = DEFAULT_EPSILON,
     radius: float | jax.Array = jnp.inf,
     width: int = 64,
-    edge_size: int = 0,       # 0 = all stored edges
+    edge_size: int | jax.Array = 0,  # 0 = all stored edges; traced operand —
+                                     # applied as a mask, not a slice, so any
+                                     # value shares one compiled program (the
+                                     # reference's edgeSize limits SIMD work;
+                                     # on TPU the hop gather is fixed-width)
     max_iters: int = 0,       # 0 = auto
     hash_bits: int = 16,
     exact_hash: bool = False,
     x_sqnorm: jax.Array | None = None,
+    scorer=None,              # static callable(queries, rows, rows_sq, q_sq)
+                              # -> [B, E]; None = metric distance.  Lets the
+                              # quantized-graph search drop in a PQ-LUT
+                              # scorer while reusing this traversal.
 ) -> SearchResult:
     """One batched k-NN search over a fixed proximity graph."""
     n_pad, e_max = nbr.shape
     b, _ = queries.shape
-    e = e_max if edge_size <= 0 or edge_size > e_max else edge_size
+    e = e_max
+    edge_limit = jnp.where(
+        jnp.asarray(edge_size, _I32) > 0,
+        jnp.asarray(edge_size, _I32),
+        jnp.int32(e_max),
+    )
     w = max(width, k)
     s = seed_ids.shape[1]
     if max_iters <= 0:
@@ -106,6 +119,9 @@ def graph_search(
     radius0 = jnp.broadcast_to(jnp.asarray(radius, _F32), (b,))
 
     q_sq = jnp.sum(queries.astype(_F32) ** 2, axis=-1)
+    if scorer is None:
+        def scorer(qs, rows, rows_sq, qsq):
+            return D.gathered(metric, qs, rows, xs_sqnorm=rows_sq, q_sqnorm=qsq)
 
     # ---- seed scoring (reference setupDistances/setupSeeds, Graph.cpp:243-394)
     seed_ok = (seed_ids >= 0) & jnp.take(
@@ -117,7 +133,7 @@ def graph_search(
         if x_sqnorm is not None
         else None
     )
-    seed_d = D.gathered(metric, queries, seed_rows, xs_sqnorm=seed_sq, q_sqnorm=q_sq)
+    seed_d = scorer(queries, seed_rows, seed_sq, q_sq)
     seed_d = jnp.where(seed_ok, seed_d, INF)
     # dedupe seeds within the batch row (duplicate ids would poison the pool)
     srt = jnp.sort(seed_ids, axis=1)
@@ -146,7 +162,8 @@ def graph_search(
     done = jnp.logical_not(jnp.any(pool_i >= 0, axis=1))
     rowsel = jnp.arange(b)
 
-    nbr_e = nbr[:, :e]
+    nbr_e = nbr
+    edge_cols = jax.lax.broadcasted_iota(_I32, (1, e), 1)
 
     def radius_of(pd):
         rk = pd[:, k - 1] if k <= w else pd[:, -1]
@@ -180,8 +197,10 @@ def graph_search(
             jnp.where(live, oldw | (_U32(1) << bit), oldw)
         )
 
-        # gather neighbors of the expanded node
+        # gather neighbors of the expanded node (first edge_limit edges only,
+        # the reference's edgeSize policy; Graph.h:675-692)
         nb = jnp.take(nbr_e, cur_id_safe, axis=0)             # [B, e]
+        nb = jnp.where(edge_cols < edge_limit, nb, -1)
         nb_ok = (nb >= 0) & live[:, None]
         nb_safe = jnp.clip(nb, 0, n_pad - 1)
         nb_ok &= jnp.take(valid, nb_safe, axis=0)
@@ -205,7 +224,7 @@ def graph_search(
             if x_sqnorm is not None
             else None
         )
-        nd = D.gathered(metric, queries, rows, xs_sqnorm=rsq, q_sqnorm=q_sq)
+        nd = scorer(queries, rows, rsq, q_sq)
         # admission: push to unchecked iff dist <= explorationRadius
         # (Graph.cpp:605-607); anything farther can never become a result
         nd = jnp.where(nb_ok & (nd <= er[:, None]), nd, INF)
@@ -244,3 +263,30 @@ def graph_search(
     out_i = jnp.where(keep, out_i, -1)
     out_d = jnp.where(keep, out_d, INF)
     return SearchResult(out_i, out_d, vc, dc, it)
+
+
+def _seeded_search(
+    x, nbr, valid, sqnorm, rep_rows, rep_sq, rep_ids, queries, epsilon,
+    radius, edge_size, *, metric, k, s, width, max_iters, hash_bits,
+    exact_hash,
+):
+    """Seed scoring (one matmul over representative rows) + graph search as
+    a single device program — one dispatch per query batch."""
+    sd = D.pairwise(metric, queries, rep_rows, x_sqnorm=rep_sq)
+    _, si = jax.lax.top_k(-sd, min(s, rep_rows.shape[0]))
+    seeds = jnp.take(rep_ids, si, axis=0)
+    return graph_search(
+        x, nbr, valid, queries, seeds,
+        metric=metric, k=k, epsilon=epsilon, radius=radius, width=width,
+        edge_size=edge_size, max_iters=max_iters, hash_bits=hash_bits,
+        exact_hash=exact_hash, x_sqnorm=sqnorm,
+    )
+
+
+seeded_search = jax.jit(
+    _seeded_search,
+    static_argnames=(
+        "metric", "k", "s", "width", "max_iters", "hash_bits",
+        "exact_hash",
+    ),
+)

@@ -24,7 +24,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ngt_tpu.graph.build import DeviceMirror, build_anng, remove_object, _bucket, _pad_ids
-from ngt_tpu.graph.search import graph_search
+from ngt_tpu.graph.search import graph_search, seeded_search  # noqa: F401
 from ngt_tpu.graph.storage import GraphStore
 from ngt_tpu.ops import bruteforce as BF
 from ngt_tpu.properties import (
@@ -129,8 +129,10 @@ class Index:
         if self.prop.search_width > 0:
             return max(self.prop.search_width, k)
         # wider exploration for bigger ε, mirroring the reference's dynamic
-        # edge policy intent (Graph.h:675-692)
-        return max(64, 2 * k, int(k * (1.0 + 8.0 * max(epsilon, 0.0))))
+        # edge policy intent (Graph.h:675-692); rounded to a power of two so
+        # nearby ε values share one compiled program
+        w = max(64, 2 * k, int(k * (1.0 + 8.0 * max(epsilon, 0.0))))
+        return 1 << int(math.ceil(math.log2(w)))
 
     def batch_search(
         self,
@@ -140,17 +142,33 @@ class Index:
         radius: float = float("inf"),
         edge_size: int = -1,
         width: int = 0,
+        expected_accuracy: float = -1.0,
         with_stats: bool = False,
     ):
         """TPU-native batched k-NN. queries: [B, dim] host or device array.
-        Returns (ids [B, k] external, dists [B, k]); -1 id = empty slot."""
+        Returns (ids [B, k] external, dists [B, k]); -1 id = empty slot.
+        ``expected_accuracy`` > 0 maps to ε via the accuracy table
+        (reference Index.h:1156-1158)."""
+        if expected_accuracy > 0:
+            from ngt_tpu.optimizer import AccuracyTable
+
+            if not self.prop.accuracy_table:
+                raise ValueError(
+                    "expected_accuracy needs an accuracy table; run "
+                    "ngt_tpu.optimizer.generate_accuracy_table first"
+                )
+            epsilon = AccuracyTable.from_string(
+                self.prop.accuracy_table
+            ).get_epsilon(expected_accuracy)
         mirror = self._ensure_mirror()
         q = self.store.prepare_queries(np.asarray(queries, dtype=np.float32))
         b = q.shape[0]
         bpad = _bucket(b)
         if bpad != b:
             q = jnp.concatenate([q, jnp.tile(q[:1], (bpad - b, 1))], axis=0)
-        seeds = self.seeder.seeds_for(q, seed_size=self.prop.seed_size)
+        if self.seeder.num_reps == 0 and self.graph.node_count() > 0:
+            live = np.nonzero(self.graph._has_node)[0].astype(np.int32)
+            self.seeder.refresh(live, self.store._x, min(4096, len(live)))
         if edge_size in (-1, 0):
             e = min(self.prop.edge_size_for_search, self.graph.e_max)
         elif edge_size == -2:
@@ -167,21 +185,28 @@ class Index:
         else:
             e = min(int(edge_size), self.graph.e_max)
         bits, exact = _wrap_hash_bits(mirror.capacity, self.prop.visited_bits_log2)
-        res = graph_search(
+        rep_rows, rep_sq = self.seeder._rep_rows, self.seeder._rep_sq
+        if mirror.sqnorm is None:
+            rep_sq = None
+        res = seeded_search(
             mirror.x,
             mirror.nbr,
             mirror.valid,
+            mirror.sqnorm,
+            rep_rows,
+            rep_sq,
+            jnp.asarray(self.seeder.rep_ids),
             q,
-            seeds,
+            jnp.float32(epsilon),
+            jnp.float32(radius),
+            jnp.int32(e),
             metric=self.store.metric,
             k=int(size),
-            epsilon=float(epsilon),
-            radius=float(radius),
+            s=int(self.prop.seed_size),
             width=width if width > 0 else self._auto_width(size, epsilon),
-            edge_size=int(e),
+            max_iters=0,
             hash_bits=bits,
             exact_hash=exact,
-            x_sqnorm=mirror.sqnorm,
         )
         ids = self._ext(np.asarray(res.ids)[:b])
         dists = np.asarray(res.dists)[:b]
@@ -200,6 +225,7 @@ class Index:
         epsilon: float = 0.1,
         radius: float = float("inf"),
         edge_size: int = -1,
+        expected_accuracy: float = -1.0,
         with_distance: bool = True,
     ):
         """Single-query search returning [(id, dist)] like ngtpy
@@ -210,6 +236,7 @@ class Index:
             epsilon=epsilon,
             radius=radius,
             edge_size=edge_size,
+            expected_accuracy=expected_accuracy,
         )
         out = [
             (int(i), float(d))

@@ -1,0 +1,259 @@
+"""Search-parameter optimization: ε↔accuracy tables, ε exploration, edge-size
+tuning, and the ONNG pipeline driver.
+
+Mirrors the reference's measurement-driven tuners:
+* ``AccuracyTable`` — ε↔accuracy piecewise-linear table serialized as
+  "eps:acc,..." (reference Index::AccuracyTable, lib/NGT/Index.h:293-360),
+  consumed by the ``expected_accuracy`` search knob (Index.h:1156-1158);
+* ``evaluate`` — recall/QPS per ε, the text-protocol evaluator's core
+  (reference Optimizer::evaluate, Optimizer.h:130-226);
+* ``explore_epsilon`` — bisect ε to bracket a target accuracy
+  (Optimizer::exploreEpsilonForAccuracy, Optimizer.h:523-656);
+* ``generate_accuracy_table`` — ε→accuracy sweep (Optimizer.h:1495-1573);
+* ``extract_queries`` — midpoint-of-neighbors query synthesis
+  (Optimizer.h:1139-1199);
+* ``adjust_edge_size`` — pick the fastest edge-size meeting a target
+  accuracy (the role of adjustSearchEdgeSize's coordinate descent,
+  Optimizer.h:688-944, collapsed to a sweep since the TPU search cost
+  model is flat per edge tier);
+* ``GraphOptimizer`` — the ONNG pipeline driver: reconstruct ->
+  path-adjust -> optimize search params (reference GraphOptimizer::execute,
+  GraphOptimizer.h:230-300).  Prefetch tuning has no TPU analogue.
+
+Ground truth here is exact brute force on device (one matmul) — strictly
+better than the reference's grown-ε pseudo-GT (Optimizer.h:1418-1493).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ngt_tpu.ops.bruteforce import recall_at_k
+
+
+class AccuracyTable:
+    """ε↔accuracy piecewise-linear interpolation (Index.h:293-360)."""
+
+    def __init__(self, pairs: list[tuple[float, float]] | None = None):
+        self.pairs = sorted(pairs or [])  # (epsilon, accuracy)
+
+    @classmethod
+    def from_string(cls, s: str) -> "AccuracyTable":
+        pairs = []
+        for tok in s.split(","):
+            tok = tok.strip()
+            if not tok:
+                continue
+            e, a = tok.split(":")
+            pairs.append((float(e), float(a)))
+        return cls(pairs)
+
+    def to_string(self) -> str:
+        return ",".join(f"{e:g}:{a:g}" for e, a in self.pairs)
+
+    def get_epsilon(self, accuracy: float) -> float:
+        """Interpolate the ε achieving ``accuracy`` (Index.h:330-358)."""
+        if not self.pairs:
+            raise ValueError("empty accuracy table")
+        if accuracy <= self.pairs[0][1]:
+            return self.pairs[0][0]
+        for (e0, a0), (e1, a1) in zip(self.pairs, self.pairs[1:]):
+            if a0 <= accuracy <= a1:
+                if a1 == a0:
+                    return e1
+                t = (accuracy - a0) / (a1 - a0)
+                return e0 + t * (e1 - e0)
+        # beyond the measured range: extrapolate from the last segment
+        (e0, a0), (e1, a1) = self.pairs[-2:] if len(self.pairs) > 1 else (
+            self.pairs[0], self.pairs[0],
+        )
+        if a1 == a0:
+            return e1 * 1.5 + 0.1
+        t = (accuracy - a0) / (a1 - a0)
+        return min(e0 + t * (e1 - e0), e1 * 4 + 0.5)
+
+
+@dataclass
+class EvalPoint:
+    epsilon: float
+    recall: float
+    qps: float
+    mean_distance_count: float
+    k: int = 10
+
+
+def evaluate(
+    index,
+    queries: np.ndarray,
+    gt_ids: np.ndarray,
+    epsilons=(0.0, 0.02, 0.05, 0.1, 0.2, 0.4),
+    k: int = 10,
+    edge_size: int = -1,
+    repeats: int = 2,
+) -> list[EvalPoint]:
+    out = []
+    for eps in epsilons:
+        ids, _, st = index.batch_search(
+            queries, size=k, epsilon=eps, edge_size=edge_size, with_stats=True
+        )  # warm/compile
+        t0 = time.time()
+        for _ in range(repeats):
+            ids, _ = index.batch_search(
+                queries, size=k, epsilon=eps, edge_size=edge_size
+            )
+        dt = (time.time() - t0) / repeats
+        rec = recall_at_k(np.asarray(ids), np.asarray(gt_ids), k)
+        out.append(
+            EvalPoint(
+                epsilon=float(eps),
+                recall=rec,
+                qps=len(queries) / dt,
+                mean_distance_count=float(np.mean(st["distance_count"])),
+                k=k,
+            )
+        )
+    return out
+
+
+def explore_epsilon(
+    index,
+    queries: np.ndarray,
+    gt_ids: np.ndarray,
+    target_accuracy: float,
+    k: int = 10,
+    lo: float = 0.0,
+    hi: float = 1.5,
+    iters: int = 8,
+) -> float:
+    """Bisect ε to the smallest value meeting target accuracy
+    (Optimizer.h:523-656)."""
+
+    def rec(eps):
+        ids, _ = index.batch_search(queries, size=k, epsilon=eps)
+        return recall_at_k(np.asarray(ids), np.asarray(gt_ids), k)
+
+    if rec(hi) < target_accuracy:
+        return hi
+    for _ in range(iters):
+        mid = (lo + hi) / 2
+        if rec(mid) >= target_accuracy:
+            hi = mid
+        else:
+            lo = mid
+    return hi
+
+
+def extract_queries(index, n: int, seed: int = 0) -> np.ndarray:
+    """Query synthesis: midpoint of two neighboring stored objects
+    (Optimizer::extractQueries, Optimizer.h:1139-1199)."""
+    rng = np.random.default_rng(seed)
+    size = index.store.repository_size
+    live = np.nonzero(index.store._valid[:size])[0]
+    picks = rng.choice(live, size=min(n, len(live)), replace=False)
+    base = index.store._x[picks, : index.store.dimension].astype(np.float32)
+    ids, _ = index.batch_search(base, size=2, epsilon=0.1)
+    other = np.asarray(ids)[:, 1]
+    other_int = np.where(other >= 0, other + (1 if index.zero_based else 0), picks)
+    mate = index.store._x[other_int, : index.store.dimension].astype(np.float32)
+    return (base + mate) / 2.0
+
+
+def generate_accuracy_table(
+    index,
+    queries: np.ndarray | None = None,
+    k: int = 10,
+    epsilons=(0.0, 0.02, 0.05, 0.1, 0.15, 0.2, 0.3, 0.5, 0.8, 1.2),
+    n_queries: int = 200,
+) -> AccuracyTable:
+    """ε→accuracy sweep; persists to prop.accuracy_table
+    (Optimizer::generateAccuracyTable, Optimizer.h:1495-1573)."""
+    if queries is None:
+        queries = extract_queries(index, n_queries)
+    gt_ids, _ = index.batch_linear_search(queries, size=k)
+    pairs = []
+    for eps in epsilons:
+        ids, _ = index.batch_search(queries, size=k, epsilon=eps)
+        pairs.append((float(eps), recall_at_k(np.asarray(ids), np.asarray(gt_ids), k)))
+    table = AccuracyTable(pairs)
+    index.prop.accuracy_table = table.to_string()
+    return table
+
+
+def adjust_edge_size(
+    index,
+    queries: np.ndarray | None = None,
+    k: int = 10,
+    target_accuracy: float = 0.9,
+    candidates=(10, 20, 40, 60, 0),
+    n_queries: int = 200,
+) -> int:
+    """Pick the fastest search edge size meeting the accuracy target; writes
+    prop.edge_size_for_search (the role of adjustSearchEdgeSize,
+    Optimizer.h:874-944)."""
+    if queries is None:
+        queries = extract_queries(index, n_queries)
+    gt_ids, _ = index.batch_linear_search(queries, size=k)
+    best = None
+    for e in candidates:
+        pts = evaluate(
+            index, queries, np.asarray(gt_ids),
+            epsilons=(0.05, 0.1), k=k, edge_size=e if e > 0 else -1,
+        )
+        ok = [p for p in pts if p.recall >= target_accuracy]
+        score = max((p.qps for p in ok), default=0.0)
+        if best is None or score > best[1]:
+            best = (e, score)
+    e = best[0]
+    if e > 0:
+        index.prop.edge_size_for_search = e
+    return e
+
+
+@dataclass
+class GraphOptimizer:
+    """ONNG pipeline driver (reference GraphOptimizer, GraphOptimizer.h:21-653).
+
+    ``execute`` rewrites the index's graph in place (the reference copies the
+    index directory first; callers can ``index.save`` to a new path)."""
+
+    out_edges: int = 10
+    in_edges: int = 120
+    min_edges_after_adjustment: int = 10
+    target_accuracy: float = 0.9
+    adjust_paths: bool = True
+    tune_parameters: bool = True
+    queries: np.ndarray | None = field(default=None, repr=False)
+
+    def execute(self, index) -> None:
+        from ngt_tpu.graph import reconstruct as R
+        from ngt_tpu.properties import GraphType
+
+        n = index.store.repository_size
+        graph = index.graph
+        # KNNG/BKNNG inputs must become ANNG first (GraphOptimizer.h:258-264)
+        if index.prop.graph_type in (GraphType.KNNG, GraphType.BKNNG):
+            graph = R.convert_to_anng(graph, n)
+        onng = R.reconstruct_graph(
+            graph, n, out_edges=self.out_edges, in_edges=self.in_edges
+        )
+        if self.adjust_paths:
+            onng = R.adjust_paths(
+                onng, n, min_edges=self.min_edges_after_adjustment
+            )
+        index.graph = onng
+        index.prop.graph_type = GraphType.ONNG
+        index.prop.outgoing_edge = self.out_edges
+        index.prop.incoming_edge = self.in_edges
+        index.prop.max_edges = onng.e_max
+        index._mirror = None
+        if self.tune_parameters:
+            q = (
+                self.queries
+                if self.queries is not None
+                else extract_queries(index, 200)
+            )
+            generate_accuracy_table(index, q)
+            adjust_edge_size(index, q, target_accuracy=self.target_accuracy)

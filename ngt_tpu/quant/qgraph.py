@@ -1,0 +1,193 @@
+"""Quantized-graph search — the NGTQG analogue.
+
+The reference's NGTQG (NGTQ/QuantizedGraph.h) re-encodes each graph node's
+edge targets as interleaved 4-bit PQ codes and scores ALL neighbors of a
+popped node at once with an AVX512 ``vpshufb`` LUT kernel
+(Quantizer.h:957-1095), then optionally re-ranks the expanded candidate list
+exactly (``searchQuantizedGraph``, QuantizedGraph.h:192-320).
+
+TPU redesign: PQ codes live in one dense [N, M] uint8 matrix; the traversal
+is the SAME batched best-first kernel as the exact search
+(graph.search.graph_search) with a PQ-LUT scorer plugged in — per hop it
+gathers neighbor code rows and does a take_along_axis-sum, the vector-unit
+equivalent of the vpshufb gather.  ``result_expansion`` widens the
+approximate search and one fused device program re-ranks exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ngt_tpu.graph.search import graph_search
+from ngt_tpu.ops import distances as D
+from ngt_tpu.quant.pq import ProductQuantizer, adc_gathered
+from ngt_tpu.properties import DistanceType
+
+_F32 = jnp.float32
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "k"))
+def _exact_rerank(x, queries, cand_ids, cand_ok, metric, k):
+    """Re-rank candidate ids exactly (reference resultExpansion re-rank,
+    QuantizedGraph.h:270-299)."""
+    safe = jnp.clip(cand_ids, 0, x.shape[0] - 1)
+    rows = jnp.take(x, safe, axis=0)                 # [B, C, D]
+    d = D.gathered(metric, queries, rows)
+    d = jnp.where(cand_ok, d, jnp.inf)
+    neg, sel = jax.lax.top_k(-d, k)
+    ids = jnp.take_along_axis(cand_ids, sel, axis=1)
+    dd = -neg
+    ids = jnp.where(jnp.isfinite(dd), ids, -1)
+    return ids, dd
+
+
+class QuantizedGraphIndex:
+    """NGTQG-style index: exact vectors + PQ codes + the host index's graph.
+
+    Build from a finished Index via ``quantize`` (the analogue of
+    ``ngtqg quantize``; NGTQG::Index::quantize, QuantizedGraph.h:456-475)."""
+
+    def __init__(self, index, pq: ProductQuantizer, codes: np.ndarray):
+        self.index = index
+        self.pq = pq
+        self.codes = codes                    # [cap, M] uint8 (host)
+        self._codes_dev = None
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def quantize(
+        cls, index, dsub: int = 2, ksub: int = 16, iters: int = 20,
+    ) -> "QuantizedGraphIndex":
+        store = index.store
+        d_pad = store.d_pad
+        # quantize over the padded dim so code gathers align with the mirror
+        pq = ProductQuantizer(d_pad, dsub=dsub, ksub=ksub)
+        n = store.repository_size
+        live = store._valid[:n]
+        x = store._x[:n].astype(np.float32)
+        pq.fit(x[live], iters=iters)
+        codes = np.zeros((store._x.shape[0], pq.m), np.uint8)
+        codes[:n][live] = pq.encode(x[live])
+        return cls(index, pq, codes)
+
+    # ------------------------------------------------------------------
+    def _dev_codes(self):
+        cap = self.index.store._x.shape[0]
+        if self.codes.shape[0] < cap:
+            grown = np.zeros((cap, self.pq.m), np.uint8)
+            grown[: self.codes.shape[0]] = self.codes
+            self.codes = grown
+            self._codes_dev = None
+        if self._codes_dev is None:
+            self._codes_dev = jnp.asarray(self.codes)
+        return self._codes_dev
+
+    def batch_search(
+        self,
+        queries,
+        size: int = 10,
+        epsilon: float = 0.02,
+        result_expansion: float = 3.0,
+        edge_size: int = -1,
+        width: int = 0,
+    ):
+        """Approximate traversal over PQ scores + exact re-rank.
+        Defaults mirror the reference (ε=0.02, expansion=3.0;
+        bin/ngtqg/README.md:62-69)."""
+        idx = self.index
+        mirror = idx._ensure_mirror()
+        q = idx.store.prepare_queries(np.asarray(queries, dtype=np.float32))
+        b0 = q.shape[0]
+        from ngt_tpu.graph.build import _bucket
+
+        bpad = _bucket(b0)
+        if bpad != b0:
+            q = jnp.concatenate([q, jnp.tile(q[:1], (bpad - b0, 1))], axis=0)
+
+        k_exp = max(int(math.ceil(size * max(result_expansion, 1.0))), size)
+        lut = self.pq.lut(np.asarray(q))                   # [B, M, K]
+        lut_flat = lut.reshape(lut.shape[0], -1)
+
+        if idx.seeder.num_reps == 0 and idx.graph.node_count() > 0:
+            live = np.nonzero(idx.graph._has_node)[0].astype(np.int32)
+            idx.seeder.refresh(live, idx.store._x, min(4096, len(live)))
+        seeds = idx.seeder.seeds_for(q, seed_size=idx.prop.seed_size)
+
+        from ngt_tpu.index import _wrap_hash_bits
+
+        bits, exact = _wrap_hash_bits(mirror.capacity,
+                                      idx.prop.visited_bits_log2)
+        e = (
+            min(idx.prop.edge_size_for_search, idx.graph.e_max)
+            if edge_size in (-1, 0)
+            else min(int(edge_size), idx.graph.e_max)
+        )
+        res = graph_search(
+            self._dev_codes(),
+            mirror.nbr,
+            mirror.valid,
+            lut_flat,
+            seeds,
+            metric=DistanceType.L2,
+            k=k_exp,
+            epsilon=float(epsilon),
+            width=width if width > 0 else max(64, 2 * k_exp),
+            edge_size=int(e),
+            hash_bits=bits,
+            exact_hash=exact,
+            scorer=adc_gathered,
+        )
+        ids, dists = _exact_rerank(
+            mirror.x, q, res.ids, res.ids >= 0, idx.store.metric, int(size)
+        )
+        ids, dists = jax.device_get((ids, dists))
+        return idx._ext(ids[:b0]), dists[:b0]
+
+    def search(self, query, size: int = 10, epsilon: float = 0.02,
+               result_expansion: float = 3.0):
+        ids, dists = self.batch_search(
+            np.asarray(query, np.float32)[None, :],
+            size=size, epsilon=epsilon, result_expansion=result_expansion,
+        )
+        lo = 0 if self.index.zero_based else 1
+        return [
+            (int(i), float(d))
+            for i, d in zip(ids[0], dists[0])
+            if i >= lo and np.isfinite(d)
+        ]
+
+    # ------------------------------------------------------------------
+    def save(self, path: str | None = None) -> None:
+        """Persist under <index>/qg/ like the reference
+        (QuantizedGraph.h:152-162)."""
+        base = path or self.index.path
+        if base is None:
+            raise ValueError("no path")
+        self.index.save(base)
+        qg = os.path.join(base, "qg")
+        os.makedirs(qg, exist_ok=True)
+        n = self.index.store.repository_size
+        np.savez(
+            os.path.join(qg, "quantized.npz"),
+            codes=self.codes[:n],
+            **self.pq.state_dict(),
+        )
+
+    @classmethod
+    def open(cls, path: str) -> "QuantizedGraphIndex":
+        from ngt_tpu.index import open_index
+
+        idx = open_index(path)
+        st = np.load(os.path.join(path, "qg", "quantized.npz"))
+        pq = ProductQuantizer.from_state(
+            {k: st[k] for k in ("codebooks", "mean", "dsub", "ksub", "dimension")}
+        )
+        codes = np.zeros((idx.store._x.shape[0], pq.m), np.uint8)
+        codes[: st["codes"].shape[0]] = st["codes"]
+        return cls(idx, pq, codes)

@@ -50,7 +50,16 @@ class Seeder:
             if num >= len(live_ids)
             else self._rng.choice(live_ids, size=num, replace=False)
         )
-        self.set_representatives(np.sort(sel).astype(np.int32), x_host)
+        sel = np.sort(sel).astype(np.int32)
+        # pad to a power-of-two bucket by repeating the first id so rep-array
+        # shapes stay stable across refreshes (bounds jit recompiles);
+        # duplicate seeds are deduped inside graph_search
+        bucket = 1 << max(int(np.ceil(np.log2(max(len(sel), 1)))), 4)
+        if len(sel) < bucket:
+            sel = np.concatenate(
+                [sel, np.full(bucket - len(sel), sel[0], np.int32)]
+            )
+        self.set_representatives(sel, x_host)
 
     def set_representatives(self, rep_ids: np.ndarray, x_host: np.ndarray):
         self.rep_ids = np.asarray(rep_ids, dtype=np.int32)

@@ -1,0 +1,82 @@
+"""Optimizer layer: accuracy tables, ε exploration, ONNG pipeline driver."""
+
+import numpy as np
+import pytest
+
+import ngt_tpu
+from ngt_tpu import optimizer as O
+from ngt_tpu.ops.bruteforce import recall_at_k
+from ngt_tpu.properties import GraphType
+
+
+@pytest.fixture(scope="module")
+def built_index():
+    rng = np.random.default_rng(11)
+    data = rng.normal(size=(1500, 16)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=16)
+    idx.batch_insert(data, build=True)
+    return idx, data
+
+
+def test_accuracy_table_roundtrip():
+    t = O.AccuracyTable([(0.0, 0.5), (0.1, 0.8), (0.3, 0.95)])
+    s = t.to_string()
+    t2 = O.AccuracyTable.from_string(s)
+    assert t2.pairs == t.pairs
+    # interpolation
+    assert abs(t2.get_epsilon(0.8) - 0.1) < 1e-9
+    assert 0.0 < t2.get_epsilon(0.65) < 0.1
+    assert t2.get_epsilon(0.3) == 0.0  # below range -> smallest eps
+    assert t2.get_epsilon(0.99) > 0.3  # above range -> extrapolates
+
+
+def test_evaluate_monotone(built_index, rng):
+    idx, data = built_index
+    queries = rng.normal(size=(64, 16)).astype(np.float32)
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+    pts = O.evaluate(idx, queries, np.asarray(gt_ids), epsilons=(0.0, 0.3))
+    assert pts[1].recall >= pts[0].recall
+    assert pts[1].mean_distance_count > pts[0].mean_distance_count
+
+
+def test_explore_epsilon(built_index, rng):
+    idx, data = built_index
+    queries = rng.normal(size=(48, 16)).astype(np.float32)
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+    eps = O.explore_epsilon(idx, queries, np.asarray(gt_ids), 0.95)
+    ids, _ = idx.batch_search(queries, size=10, epsilon=eps)
+    assert recall_at_k(np.asarray(ids), np.asarray(gt_ids), 10) >= 0.95
+
+
+def test_accuracy_table_and_expected_accuracy(built_index):
+    idx, data = built_index
+    table = O.generate_accuracy_table(idx, k=10, n_queries=64)
+    assert idx.prop.accuracy_table == table.to_string()
+    assert len(table.pairs) >= 5
+    # expected_accuracy search knob resolves through the table
+    q = data[321]
+    res = idx.search(q, size=5, expected_accuracy=0.9)
+    assert res[0][0] == 321
+
+
+def test_extract_queries(built_index):
+    idx, _ = built_index
+    q = O.extract_queries(idx, 32)
+    assert q.shape == (32, 16)
+    assert np.isfinite(q).all()
+
+
+def test_graph_optimizer_pipeline(rng):
+    data = rng.normal(size=(1000, 12)).astype(np.float32)
+    queries = rng.normal(size=(32, 12)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=12, edge_size_for_creation=16)
+    idx.batch_insert(data, build=True)
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+
+    opt = O.GraphOptimizer(out_edges=8, in_edges=24, tune_parameters=True)
+    opt.execute(idx)
+    assert idx.prop.graph_type == GraphType.ONNG
+    assert idx.prop.accuracy_table  # table was generated
+    ids, _ = idx.batch_search(queries, size=10, epsilon=0.15)
+    rec = recall_at_k(np.asarray(ids), np.asarray(gt_ids), 10)
+    assert rec >= 0.9, f"post-ONNG recall {rec}"

@@ -1,0 +1,218 @@
+"""Quantization: k-means, PQ codec, quantized-graph search."""
+
+import os
+
+import numpy as np
+import pytest
+
+import ngt_tpu
+from ngt_tpu.ops.bruteforce import recall_at_k
+from ngt_tpu.quant.clustering import kmeans, kmeans_multi, mean_squared_error
+from ngt_tpu.quant.pq import ProductQuantizer
+from ngt_tpu.quant.qgraph import QuantizedGraphIndex
+
+
+def test_kmeans_separable(rng):
+    # 4 well-separated blobs must be recovered
+    centers = np.array([[0, 0], [10, 0], [0, 10], [10, 10]], np.float32)
+    x = np.concatenate(
+        [c + rng.normal(scale=0.3, size=(50, 2)).astype(np.float32) for c in centers]
+    )
+    cents, assign = kmeans(x, 4, iters=20)
+    mse = mean_squared_error(x, cents, assign)
+    assert mse < 0.5
+    # each blob maps to exactly one cluster
+    for blob in range(4):
+        labels = assign[blob * 50 : (blob + 1) * 50]
+        assert len(set(labels.tolist())) == 1
+
+
+def test_kmeans_multi_matches_single(rng):
+    xs = rng.normal(size=(4, 200, 8)).astype(np.float32)
+    cents, assign = kmeans_multi(xs, 16, iters=10, seed=3)
+    assert cents.shape == (4, 16, 8)
+    for m in range(4):
+        mse = mean_squared_error(xs[m], cents[m], assign[m])
+        base = (xs[m] ** 2).sum(1).mean()
+        assert mse < base  # quantization reduces energy
+
+
+def test_pq_roundtrip_error(rng):
+    x = rng.normal(size=(500, 32)).astype(np.float32)
+    pq = ProductQuantizer(32, dsub=2, ksub=16).fit(x)
+    codes = pq.encode(x)
+    assert codes.shape == (500, 16) and codes.dtype == np.uint8
+    assert codes.max() < 16
+    rec = pq.decode(codes)
+    rel = ((x - rec) ** 2).sum() / (x**2).sum()
+    assert rel < 0.35, f"relative PQ error {rel}"
+
+
+def test_pq_lut_matches_decode(rng):
+    x = rng.normal(size=(300, 16)).astype(np.float32)
+    q = rng.normal(size=(5, 16)).astype(np.float32)
+    pq = ProductQuantizer(16, dsub=2, ksub=16).fit(x)
+    codes = pq.encode(x)
+    lut = np.asarray(pq.lut(q))  # [B, M, K]
+    # ADC distance via LUT == distance to decoded vector
+    approx = lut[
+        np.arange(5)[:, None, None],
+        np.arange(pq.m)[None, :, None],
+        codes[None, :, :].transpose(0, 2, 1),
+    ]
+    # approx: [B, M, N] -> sum over M
+    adc = approx.sum(axis=1)
+    dec = pq.decode(codes)
+    want = ((q[:, None, :] - dec[None, :, :]) ** 2).sum(-1)
+    np.testing.assert_allclose(adc, want, rtol=2e-3, atol=2e-3)
+
+
+@pytest.fixture(scope="module")
+def qg_setup():
+    # clustered data (real embeddings have local structure; uniform gaussian
+    # is the PQ worst case and not representative)
+    rng = np.random.default_rng(9)
+    centers = rng.normal(size=(20, 32)).astype(np.float32) * 4
+    data = (
+        centers[rng.integers(0, 20, size=2000)]
+        + rng.normal(size=(2000, 32)).astype(np.float32)
+    )
+    queries = (
+        centers[rng.integers(0, 20, size=48)]
+        + rng.normal(size=(48, 32)).astype(np.float32)
+    )
+    idx = ngt_tpu.create(None, dimension=32)
+    idx.batch_insert(data, build=True)
+    qg = QuantizedGraphIndex.quantize(idx, dsub=2, ksub=16)
+    return idx, qg, data, queries
+
+
+def test_quantized_graph_recall(qg_setup):
+    idx, qg, data, queries = qg_setup
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+    # tight synthetic clusters are the ADC worst case — result_expansion is
+    # the recall knob (reference default 3.0, bin/ngtqg/README.md:62-69)
+    ids, dists = qg.batch_search(
+        queries, size=10, epsilon=0.1, result_expansion=6.0
+    )
+    rec = recall_at_k(np.asarray(ids), np.asarray(gt_ids), 10)
+    assert rec >= 0.85, f"NGTQG-style recall {rec}"
+    # distances are exact after re-rank
+    j = np.asarray(ids)[0, 0]
+    want = np.linalg.norm(queries[0] - data[j])
+    np.testing.assert_allclose(dists[0, 0], want, rtol=1e-3)
+
+
+def test_quantized_graph_recall_sift(sift5k):
+    """NGTQG-style search on the canonical SIFT corpus: recall@10 >= 0.9 at
+    the reference's default operating point."""
+    data = sift5k[:3000]
+    rng = np.random.default_rng(3)
+    queries = data[rng.choice(len(data), 32, replace=False)] + np.float32(0.5)
+    idx = ngt_tpu.create(None, dimension=128)
+    idx.batch_insert(data, build=True)
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+    qg = QuantizedGraphIndex.quantize(idx, dsub=2, ksub=16)
+    ids, _ = qg.batch_search(queries, size=10, epsilon=0.1,
+                             result_expansion=3.0)
+    rec = recall_at_k(np.asarray(ids), np.asarray(gt_ids), 10)
+    assert rec >= 0.9, f"SIFT NGTQG recall {rec}"
+
+
+def test_quantized_graph_expansion_tradeoff(qg_setup):
+    idx, qg, data, queries = qg_setup
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+    r1 = recall_at_k(
+        np.asarray(qg.batch_search(queries, 10, 0.1, result_expansion=1.0)[0]),
+        np.asarray(gt_ids), 10,
+    )
+    r3 = recall_at_k(
+        np.asarray(qg.batch_search(queries, 10, 0.1, result_expansion=3.0)[0]),
+        np.asarray(gt_ids), 10,
+    )
+    assert r3 >= r1
+
+
+def test_quantized_graph_single_and_persist(qg_setup, tmp_path):
+    idx, qg, data, queries = qg_setup
+    res = qg.search(data[77], size=5)
+    assert res[0][0] == 77 and res[0][1] < 1e-3
+    path = os.path.join(tmp_path, "qgidx")
+    qg.save(path)
+    qg2 = QuantizedGraphIndex.open(path)
+    res2 = qg2.search(data[77], size=5)
+    assert res2[0][0] == 77
+
+
+# ---------------------------------------------------------------- IVF+PQ ----
+
+
+@pytest.fixture(scope="module")
+def ivf_setup():
+    rng = np.random.default_rng(21)
+    centers = rng.normal(size=(30, 24)).astype(np.float32) * 4
+    data = (
+        centers[rng.integers(0, 30, size=3000)]
+        + rng.normal(size=(3000, 24)).astype(np.float32)
+    )
+    queries = (
+        centers[rng.integers(0, 30, size=32)]
+        + rng.normal(size=(32, 24)).astype(np.float32)
+    )
+    from ngt_tpu.quant.ivfpq import IVFPQIndex
+
+    ivf = IVFPQIndex(24, n_centroids=64, dsub=2, ksub=16)
+    ivf.batch_insert(data)
+    ivf.build()
+    return ivf, data, queries
+
+
+def test_ivfpq_recall(ivf_setup):
+    ivf, data, queries = ivf_setup
+    assert ivf.verify() == []
+    full = np.linalg.norm(queries[:, None, :] - data[None, :, :], axis=-1)
+    gt = np.argsort(full, axis=1)[:, :10]
+    ids, dists = ivf.batch_search(queries, size=10, nprobe=16, refine=True)
+    rec = recall_at_k(ids, gt, 10)
+    assert rec >= 0.9, f"IVF+PQ recall {rec}"
+    # refined distances are exact
+    want = full[0, ids[0, 0]]
+    np.testing.assert_allclose(dists[0, 0], want, rtol=1e-3)
+
+
+def test_ivfpq_nprobe_tradeoff(ivf_setup):
+    ivf, data, queries = ivf_setup
+    full = np.linalg.norm(queries[:, None, :] - data[None, :, :], axis=-1)
+    gt = np.argsort(full, axis=1)[:, :10]
+    r2 = recall_at_k(ivf.batch_search(queries, 10, nprobe=2)[0], gt, 10)
+    r16 = recall_at_k(ivf.batch_search(queries, 10, nprobe=16)[0], gt, 10)
+    assert r16 >= r2
+
+
+def test_ivfpq_approx_mode(ivf_setup):
+    ivf, data, queries = ivf_setup
+    ids, dists = ivf.batch_search(queries, size=10, nprobe=16, refine=False)
+    full = np.linalg.norm(queries[:, None, :] - data[None, :, :], axis=-1)
+    gt = np.argsort(full, axis=1)[:, :10]
+    assert recall_at_k(ids, gt, 10) >= 0.7  # approximate-only mode
+
+
+def test_ivfpq_persist(ivf_setup, tmp_path):
+    from ngt_tpu.quant.ivfpq import IVFPQIndex
+
+    ivf, data, queries = ivf_setup
+    p = os.path.join(tmp_path, "ivf")
+    ivf.save(p)
+    ivf2 = IVFPQIndex.open(p)
+    assert ivf2.verify() == []
+    a, _ = ivf.batch_search(queries[:4], size=5)
+    b, _ = ivf2.batch_search(queries[:4], size=5)
+    np.testing.assert_array_equal(a, b)
+
+
+def test_ivfpq_dimension_check():
+    from ngt_tpu.quant.ivfpq import IVFPQIndex
+
+    ivf = IVFPQIndex(24)
+    with pytest.raises(ValueError):
+        ivf.batch_insert(np.zeros((5, 7), np.float32))

@@ -1,0 +1,136 @@
+"""ONNG reconstruction passes vs oracle properties.
+
+The reference has no tests for GraphReconstructor; we check structural
+invariants (degree caps, reverse-edge presence, dedupe/sort) and that each
+pass preserves or improves search recall.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+import ngt_tpu
+from ngt_tpu.graph.reconstruct import (
+    adjust_paths,
+    convert_to_anng,
+    reconstruct_graph,
+    refine_anng,
+)
+from ngt_tpu.graph.storage import GraphStore
+from ngt_tpu.ops.bruteforce import recall_at_k
+
+
+def _knng_store(x, k, e_max=32):
+    n = len(x)
+    d = np.linalg.norm(x[:, None, :] - x[None, :, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    nn = np.argsort(d, axis=1)[:, :k].astype(np.int32)
+    nd = np.take_along_axis(d, nn, axis=1).astype(np.float32)
+    g = GraphStore(max_edges=e_max, capacity=n)
+    g.set_nodes(np.arange(n), nn, nd)
+    return g, d
+
+
+def test_convert_to_anng_adds_reverse_edges(rng):
+    x = rng.normal(size=(120, 8)).astype(np.float32)
+    g, d = _knng_store(x, 4)
+    out = convert_to_anng(g, len(x), e_max=64)
+    # every original edge now exists in both directions
+    for u in range(len(x)):
+        for v in g.nbr_ids[u, : g.degree[u]]:
+            row = out.nbr_ids[v, : out.degree[v]]
+            assert u in row, f"missing reverse edge {v}->{u}"
+    # rows sorted + deduped
+    for u in range(len(x)):
+        row = out.nbr_ids[u, : out.degree[u]]
+        assert len(set(row.tolist())) == len(row)
+        rd = out.nbr_dist[u, : out.degree[u]]
+        assert (np.diff(rd) >= -1e-6).all()
+
+
+def test_reconstruct_graph_degrees(rng):
+    x = rng.normal(size=(200, 12)).astype(np.float32)
+    g, d = _knng_store(x, 12)
+    out_e, in_e = 4, 8
+    out = reconstruct_graph(g, len(x), out_e, in_e)
+    # out-degree <= out_e + in-edges contributed by reverses
+    deg = out.degree[: len(x)]
+    assert deg.max() <= out.e_max
+    # forward edges: each node keeps its out_e nearest original edges
+    for u in range(0, 200, 17):
+        orig = g.nbr_ids[u, :out_e]
+        row = set(out.nbr_ids[u, : out.degree[u]].tolist())
+        assert set(orig.tolist()) <= row
+
+
+def test_adjust_paths_drops_shortcuts():
+    # u=0, v=1, w=2: d(0,1)=1.0, d(1,2)=0.94, d(0,2)=1.7 — edge 0->2 is
+    # dominated by 0->1->2, and both path legs are rank-0/1 edges so they
+    # are already inserted when rank of 0->2 is processed (the reference
+    # skips paths whose legs are not yet inserted at check time)
+    x = np.array([[0, 0], [1.0, 0], [1.5, 0.8], [10, 10]], np.float32)
+    d = np.linalg.norm(x[:, None] - x[None, :], axis=-1)
+    g = GraphStore(max_edges=8, capacity=4)
+    ids = np.array([[1, 2, 3], [0, 2, 3], [0, 1, 3], [0, 1, 2]], np.int32)
+    ds = np.take_along_axis(d, ids, axis=1).astype(np.float32)
+    g.set_nodes(np.arange(4), ids, ds)
+    out = adjust_paths(g, 4, min_edges=0)
+    row0 = out.nbr_ids[0, : out.degree[0]].tolist()
+    assert 1 in row0          # the short leg stays
+    assert 2 not in row0      # the dominated long edge is gone
+    assert 3 in row0          # non-dominated far edge stays
+
+
+def test_adjust_paths_min_edges_guard():
+    x = np.array([[0, 0], [1.0, 0], [1.4, 1.3], [10, 10]], np.float32)
+    d = np.linalg.norm(x[:, None] - x[None, :], axis=-1)
+    g = GraphStore(max_edges=8, capacity=4)
+    ids = np.array([[1, 2, 3], [0, 2, 3], [0, 1, 3], [0, 1, 2]], np.int32)
+    ds = np.take_along_axis(d, ids, axis=1).astype(np.float32)
+    g.set_nodes(np.arange(4), ids, ds)
+    out = adjust_paths(g, 4, min_edges=3)
+    assert (out.degree[:4] >= 3).all()  # nothing dropped below the floor
+
+
+def test_onng_pipeline_recall(rng):
+    """reconstruct + path-adjust keeps recall while cutting edges."""
+    data = rng.normal(size=(1200, 16)).astype(np.float32)
+    queries = rng.normal(size=(32, 16)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=16, edge_size_for_creation=16)
+    idx.batch_insert(data, build=True)
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+    n = idx.store.repository_size
+
+    onng = reconstruct_graph(idx.graph, n, out_edges=10, in_edges=24)
+    onng = adjust_paths(onng, n, min_edges=10)
+    before_edges = idx.graph.degree[:n].sum()
+    after_edges = onng.degree[:n].sum()
+    idx.graph = onng
+    idx._mirror = None
+    ids, _ = idx.batch_search(queries, size=10, epsilon=0.15)
+    rec = recall_at_k(ids, np.asarray(gt_ids), 10)
+    assert rec >= 0.9, f"ONNG recall {rec}"
+    assert after_edges <= before_edges * 1.5  # degree stayed bounded
+
+
+def test_refine_anng_recovers_recall(rng):
+    """refine_anng on a degraded graph restores recall
+    (reference refineANNG, GraphReconstructor.h:803-924)."""
+    data = rng.normal(size=(800, 12)).astype(np.float32)
+    queries = rng.normal(size=(24, 12)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=12)
+    idx.batch_insert(data, build=True)
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+    n = idx.store.repository_size
+    # degrade: chop every row to its 2 nearest edges
+    idx.graph.nbr_ids[:, 2:] = -1
+    idx.graph.nbr_dist[:, 2:] = np.inf
+    idx.graph.degree[:] = np.minimum(idx.graph.degree, 2)
+    idx._mirror = None
+    ids, _ = idx.batch_search(queries, size=10, epsilon=0.1)
+    degraded = recall_at_k(ids, np.asarray(gt_ids), 10)
+    refine_anng(idx, epsilon=0.2)
+    ids, _ = idx.batch_search(queries, size=10, epsilon=0.1)
+    refined = recall_at_k(ids, np.asarray(gt_ids), 10)
+    assert refined >= degraded
+    assert refined >= 0.9, f"refined recall {refined}"
+    assert idx.verify() == []
