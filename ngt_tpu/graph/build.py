@@ -251,7 +251,21 @@ def build_anng(
     )
     rep_ids_dev = jnp.asarray(seeder.rep_ids)
 
+    # build-time budget (reference BuildTimeController, Index.cpp:433-482):
+    # degrade insertion ε (and thereby per-batch work) when the projected
+    # build time would exceed prop.build_time_limit (hours in the reference;
+    # we use minutes — document in Property if changed)
+    import time as _time
+
+    limit_s = float(prop.build_time_limit) * 60.0
+    t_start = _time.time()
+
     for off in range(start, len(pending), batch):
+        if limit_s > 0 and off > start:
+            frac = (off - start) / max(len(pending) - start, 1)
+            projected = (_time.time() - t_start) / max(frac, 1e-9)
+            if projected > limit_s and eps > 0.02:
+                eps = max(eps * 0.5, 0.02)
         chunk = pending[off : off + batch]
         bsz = len(chunk)
         bpad = _bucket(bsz)

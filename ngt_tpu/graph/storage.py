@@ -98,6 +98,14 @@ class GraphStore:
         dists = np.asarray(dists, dtype=np.float32)
         self.ensure_capacity(int(targets.max()) + 1)
 
+        from ngt_tpu import native
+
+        if native.merge_edges(
+            self.nbr_ids, self.nbr_dist, self.degree,
+            self._has_node.view(np.uint8), targets, srcs, dists,
+        ):
+            return
+
         order = np.argsort(targets, kind="stable")
         targets, srcs, dists = targets[order], srcs[order], dists[order]
         uniq, starts, counts = np.unique(
@@ -117,6 +125,19 @@ class GraphStore:
         cur_d = self.nbr_dist[uniq]
         # drop adds already present in the row
         dup = (add_i[:, :, None] == cur_i[:, None, :]).any(axis=2)
+        # ... and duplicate (target, src) pairs within this batch (keep first)
+        if a_max <= 128:
+            eq = add_i[:, :, None] == add_i[:, None, :]
+            lower = np.tril(np.ones((a_max, a_max), bool), -1)
+            dup |= (eq & lower[None]).any(axis=2)
+        else:
+            for r in range(nt):
+                seen: set = set()
+                for j in range(a_max):
+                    v = int(add_i[r, j])
+                    if v in seen:
+                        dup[r, j] = True
+                    seen.add(v)
         dup |= add_i < 0
         add_d[dup] = INF
         add_i[dup] = -1

@@ -115,6 +115,25 @@ class Index:
     def get_object(self, external_id: int) -> np.ndarray:
         return self.store.get(self._int(external_id))
 
+    def make_sparse_object(self, ids) -> np.ndarray:
+        """Pack a feature-id set for a Sparse-Jaccard index (the analogue of
+        Index::makeSparseObject, reference Index.cpp:303-320)."""
+        from ngt_tpu.store import pad_sparse
+
+        return pad_sparse([ids], self.store.dimension)[0]
+
+    def insert_sparse(self, ids) -> int:
+        return self.insert(self.make_sparse_object(ids))
+
+    def optimize_seeds(self, num_reps: int = 1024) -> None:
+        """Upgrade seed representatives from a random sample to k-means
+        centroids' nearest members (tree-leaf-like locality)."""
+        n = self.store.repository_size
+        live = np.nonzero(
+            self.store._valid[:n] & self.graph._has_node[:n]
+        )[0].astype(np.int32)
+        self.seeder.finalize_kmeans(live, self.store._x, num_reps=num_reps)
+
     def __len__(self) -> int:
         return len(self.store)
 
@@ -161,7 +180,8 @@ class Index:
                 self.prop.accuracy_table
             ).get_epsilon(expected_accuracy)
         mirror = self._ensure_mirror()
-        q = self.store.prepare_queries(np.asarray(queries, dtype=np.float32))
+        qdtype = np.int64 if self.store.sparse else np.float32
+        q = self.store.prepare_queries(np.asarray(queries, dtype=qdtype))
         b = q.shape[0]
         bpad = _bucket(b)
         if bpad != b:
@@ -230,8 +250,9 @@ class Index:
     ):
         """Single-query search returning [(id, dist)] like ngtpy
         (ngtpy.cpp:172-240)."""
+        qdtype = np.int64 if self.store.sparse else np.float32
         ids, dists = self.batch_search(
-            np.asarray(query, dtype=np.float32)[None, :],
+            np.asarray(query, dtype=qdtype)[None, :],
             size=size,
             epsilon=epsilon,
             radius=radius,
@@ -250,7 +271,8 @@ class Index:
     def linear_search(self, query, size: int = 10):
         """Exact search (ngtpy linear_search; ObjectSpaceRepository.h:466)."""
         x, valid, sqn = self.store.device_arrays()
-        q = self.store.prepare_queries(np.asarray(query, dtype=np.float32)[None, :])
+        qdtype = np.int64 if self.store.sparse else np.float32
+        q = self.store.prepare_queries(np.asarray(query, dtype=qdtype)[None, :])
         ids, dists = BF.linear_search(
             q, x, valid, self.store.metric, int(size), x_sqnorm=sqn
         )
@@ -266,7 +288,8 @@ class Index:
         """Exact batched top-k — also the ground-truth generator for the
         recall harness (reference generates GT with `ngt search -i s`)."""
         x, valid, sqn = self.store.device_arrays()
-        q = self.store.prepare_queries(np.asarray(queries, dtype=np.float32))
+        qdtype = np.int64 if self.store.sparse else np.float32
+        q = self.store.prepare_queries(np.asarray(queries, dtype=qdtype))
         ids, dists = BF.linear_search(
             q, x, valid, self.store.metric, int(size), x_sqnorm=sqn
         )
@@ -312,6 +335,47 @@ class Index:
         if not (dd[within] >= -1e-6).all():
             errs.append("edge lists not sorted by distance")
         return errs
+
+    def statistics(self) -> dict:
+        """Graph statistics (the analogue of showStatisticsOfGraph,
+        reference Index.cpp:800-1154): degree histograms, edge-length stats,
+        10-NN edge coverage (the reference's 'd10' metrics)."""
+        n = self.store.repository_size
+        has = self.graph._has_node[:n]
+        deg = self.graph.degree[:n][has]
+        nbr = self.graph.nbr_ids[:n]
+        dist = self.graph.nbr_dist[:n]
+        col = np.arange(nbr.shape[1])[None, :]
+        in_rng = col < self.graph.degree[:n][:, None]
+        edges = nbr[in_rng]
+        indeg = np.bincount(
+            edges[edges >= 0], minlength=n
+        )[has] if len(edges) else np.zeros(0, int)
+        lens = dist[in_rng]
+        lens = lens[np.isfinite(lens)]
+        d10 = dist[:, : min(10, dist.shape[1])]
+        d10 = d10[np.isfinite(d10)]
+        out = {
+            "nodes": int(has.sum()),
+            "edges": int(deg.sum()),
+            "outdegree": {
+                "min": int(deg.min()) if len(deg) else 0,
+                "mean": float(deg.mean()) if len(deg) else 0.0,
+                "max": int(deg.max()) if len(deg) else 0,
+                "histogram": np.bincount(deg).tolist() if len(deg) else [],
+            },
+            "indegree": {
+                "min": int(indeg.min()) if len(indeg) else 0,
+                "mean": float(indeg.mean()) if len(indeg) else 0.0,
+                "max": int(indeg.max()) if len(indeg) else 0,
+                "zero": int((indeg == 0).sum()) if len(indeg) else 0,
+            },
+            "edge_length": {
+                "mean": float(lens.mean()) if len(lens) else 0.0,
+                "mean_10nn": float(d10.mean()) if len(d10) else 0.0,
+            },
+        }
+        return out
 
     # ------------------------------------------------------- persistence ----
     def save(self, path: Optional[str] = None) -> None:

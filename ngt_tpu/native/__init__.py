@@ -1,0 +1,119 @@
+"""Native host runtime (C++ via ctypes) with pure-numpy fallbacks.
+
+Compiles ``src/ngt_tpu_native.cpp`` with g++ on first use (cached .so next
+to the source); every entry point has a numpy fallback so the package works
+without a toolchain.  See the .cpp header for what is native and why.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import sys
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "src", "ngt_tpu_native.cpp")
+_SO = os.path.join(_DIR, "src", "_ngt_tpu_native.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            if (not os.path.exists(_SO)) or (
+                os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+            ):
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                     "-o", _SO, _SRC],
+                    check=True, capture_output=True, timeout=120,
+                )
+            lib = ctypes.CDLL(_SO)
+            lib.tsv_parse.restype = ctypes.c_long
+            lib.tsv_parse.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+                ctypes.c_long, ctypes.c_long,
+            ]
+            lib.tsv_count_rows.restype = ctypes.c_long
+            lib.tsv_count_rows.argtypes = [ctypes.c_char_p]
+            lib.merge_edges.restype = None
+            lib.merge_edges.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64,
+            ]
+            _lib = lib
+        except Exception as exc:  # pragma: no cover - toolchain missing
+            print(f"ngt_tpu.native: falling back to numpy ({exc})",
+                  file=sys.stderr)
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_tsv(path: str, dimension: int) -> np.ndarray:
+    """Bulk TSV float ingestion; extra columns ignored (the reference's
+    appendText contract, ObjectRepository.h:108-145)."""
+    lib = _load()
+    if lib is None:
+        data = np.loadtxt(path, delimiter="\t", dtype=np.float32, ndmin=2)
+        if data.shape[1] < dimension:
+            out = np.zeros((len(data), dimension), np.float32)
+            out[:, : data.shape[1]] = data
+            return out
+        return np.ascontiguousarray(data[:, :dimension])
+    n = lib.tsv_count_rows(path.encode())
+    if n < 0:
+        raise IOError(f"cannot read {path}")
+    out = np.zeros((n, dimension), dtype=np.float32)
+    got = lib.tsv_parse(
+        path.encode(),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        n, dimension,
+    )
+    if got < 0:
+        raise IOError(f"cannot read {path}")
+    return out[:got]
+
+
+def merge_edges(
+    nbr_ids: np.ndarray, nbr_dist: np.ndarray, degree: np.ndarray,
+    has_node: np.ndarray, targets: np.ndarray, srcs: np.ndarray,
+    dists: np.ndarray,
+) -> bool:
+    """In-place bulk edge merge; returns False when the native lib is
+    unavailable (caller falls back to the numpy path)."""
+    lib = _load()
+    if lib is None:
+        return False
+    assert nbr_ids.flags.c_contiguous and nbr_dist.flags.c_contiguous
+    targets = np.ascontiguousarray(targets, np.int64)
+    srcs = np.ascontiguousarray(srcs, np.int32)
+    dists = np.ascontiguousarray(dists, np.float32)
+    lib.merge_edges(
+        nbr_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        nbr_dist.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        degree.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        has_node.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.int64(nbr_ids.shape[1]),
+        targets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        srcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dists.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        np.int64(len(targets)),
+    )
+    return True

@@ -212,6 +212,68 @@ def adjust_edge_size(
     return e
 
 
+def optimize_number_of_edges(
+    index,
+    target_accuracy: float = 0.9,
+    target_size: int = 0,
+    k: int = 10,
+    start_size: int = 2500,
+    num_queries: int = 128,
+    edge_candidates=(5, 10, 15, 20, 30, 40, 60),
+) -> dict:
+    """Estimate the creation-edge count needed for a target accuracy at a
+    target scale by building doubling-size prefix indexes and extrapolating
+    on log(size) (reference GraphOptimizer::optimizeNumberOfEdgesForANNG,
+    GraphOptimizer.h:386-543)."""
+    import ngt_tpu
+
+    n = index.store.repository_size
+    live = np.nonzero(index.store._valid[:n])[0]
+    x = index.store._x[live, : index.store.dimension]
+    target_size = target_size or len(live)
+
+    sizes, edges = [], []
+    size = min(start_size, len(live))
+    rng = np.random.default_rng(0)
+    while size <= len(live):
+        sub = ngt_tpu.create(
+            None,
+            dimension=index.store.dimension,
+            distance_type=index.prop.distance_type,
+            edge_size_for_creation=max(edge_candidates),
+        )
+        sub.batch_insert(x[:size], build=True)
+        qi = rng.choice(size, size=min(num_queries, size), replace=False)
+        queries = x[qi] + rng.normal(
+            scale=1e-3 * np.abs(x).mean() + 1e-6, size=(len(qi), x.shape[1])
+        ).astype(np.float32)
+        gt_ids, _ = sub.batch_linear_search(queries, size=k)
+        chosen = max(edge_candidates)
+        for e in edge_candidates:
+            ids, _ = sub.batch_search(queries, size=k, epsilon=0.1, edge_size=e)
+            if recall_at_k(np.asarray(ids), np.asarray(gt_ids), k) >= target_accuracy:
+                chosen = e
+                break
+        sizes.append(size)
+        edges.append(chosen)
+        if size == len(live):
+            break
+        size = min(size * 2, len(live))
+
+    if len(sizes) >= 2:
+        coef = np.polyfit(np.log(sizes), edges, 1)
+        estimate = int(np.ceil(np.polyval(coef, np.log(target_size))))
+    else:
+        estimate = edges[-1]
+    estimate = int(np.clip(estimate, min(edge_candidates), 2 * max(edge_candidates)))
+    return {
+        "sizes": sizes,
+        "edges": edges,
+        "target_size": target_size,
+        "recommended_edge_size_for_creation": estimate,
+    }
+
+
 @dataclass
 class GraphOptimizer:
     """ONNG pipeline driver (reference GraphOptimizer, GraphOptimizer.h:21-653).
@@ -249,6 +311,7 @@ class GraphOptimizer:
         index.prop.incoming_edge = self.in_edges
         index.prop.max_edges = onng.e_max
         index._mirror = None
+        index.optimize_seeds()
         if self.tune_parameters:
             q = (
                 self.queries

@@ -82,5 +82,51 @@ class Seeder:
             )
         return ids
 
+    def finalize_kmeans(
+        self,
+        live_ids: np.ndarray,
+        x_host: np.ndarray,
+        num_reps: int = 1024,
+        sample: int = 65536,
+        iters: int = 10,
+    ):
+        """Replace random representatives with k-means centroids' nearest
+        live objects — locality comparable to the reference's tree leaves
+        (DVPTree clusters by pivot distance; Node.cpp:145-227), at the cost
+        of one offline k-means."""
+        from ngt_tpu.quant.clustering import kmeans
+        from ngt_tpu.ops import distances as D
+        import jax.numpy as jnp
+
+        if self.metric in (
+            DistanceType.HAMMING,
+            DistanceType.JACCARD,
+            DistanceType.SPARSE_JACCARD,
+        ):
+            return  # no meaningful centroid mean; keep sampled reps
+        live_ids = np.asarray(live_ids)
+        if len(live_ids) == 0:
+            return
+        pool = (
+            live_ids
+            if len(live_ids) <= sample
+            else self._rng.choice(live_ids, size=sample, replace=False)
+        )
+        k = int(min(num_reps, len(pool)))
+        rows = x_host[pool].astype(np.float32)
+        cents, _ = kmeans(rows, k, iters=iters)
+        # nearest live object per centroid (one pairwise block)
+        d = np.asarray(
+            D.pairwise(self.metric, jnp.asarray(cents), jnp.asarray(rows))
+        )
+        nearest = pool[np.argmin(d, axis=1)]
+        sel = np.unique(nearest).astype(np.int32)
+        bucket = 1 << max(int(np.ceil(np.log2(max(len(sel), 1)))), 4)
+        if len(sel) < bucket:
+            sel = np.concatenate(
+                [sel, np.full(bucket - len(sel), sel[0], np.int32)]
+            )
+        self.set_representatives(sel, x_host)
+
     def state_dict(self) -> dict:
         return {"rep_ids": self.rep_ids, "seed_size": self.seed_size}

@@ -38,6 +38,22 @@ _OBJECT_DTYPES = {
 }
 
 
+def pad_sparse(id_lists, dimension: int) -> np.ndarray:
+    """Pack variable-length feature-id sets into a sorted, -1-padded int32
+    matrix — the analogue of ``Index::makeSparseObject`` which packs uint32
+    ids into float bit patterns (reference Index.cpp:303-320)."""
+    out = np.full((len(id_lists), dimension), -1, np.int32)
+    for i, ids in enumerate(id_lists):
+        ids = sorted(int(v) for v in ids)
+        if len(ids) > dimension:
+            raise ValueError(
+                f"sparse object has {len(ids)} ids; index dimension is "
+                f"{dimension}"
+            )
+        out[i, : len(ids)] = ids
+    return out
+
+
 class VectorStore:
     def __init__(
         self,
@@ -54,10 +70,13 @@ class VectorStore:
         self.object_type = ObjectType(object_type)
         self.pad_multiple = pad_multiple
         self.d_pad = pad_dim(dimension, pad_multiple)
-        self._dtype = _OBJECT_DTYPES[self.object_type]
+        # sparse-Jaccard objects are sorted feature-id sets (int32, -1 pad)
+        self.sparse = self.metric == DistanceType.SPARSE_JACCARD
+        self._dtype = np.int32 if self.sparse else _OBJECT_DTYPES[self.object_type]
+        self._pad_value = -1 if self.sparse else 0
 
         cap = max(int(capacity), 16)
-        self._x = np.zeros((cap, self.d_pad), dtype=self._dtype)
+        self._x = np.full((cap, self.d_pad), self._pad_value, dtype=self._dtype)
         self._valid = np.zeros((cap,), dtype=bool)
         self._size = 1  # next fresh slot; slot 0 is the dummy
         self._free: list[int] = []  # min-heap of reusable ids
@@ -92,7 +111,7 @@ class VectorStore:
         cap = self._x.shape[0]
         while cap < n:
             cap *= 2
-        x = np.zeros((cap, self.d_pad), dtype=self._dtype)
+        x = np.full((cap, self.d_pad), self._pad_value, dtype=self._dtype)
         x[: self._x.shape[0]] = self._x
         self._x = x
         valid = np.zeros((cap,), dtype=bool)
@@ -107,6 +126,19 @@ class VectorStore:
         v = np.asarray(v)
         if v.ndim == 1:
             v = v[None, :]
+        if self.sparse:
+            # rows are -1-padded sorted id sets of width <= dimension
+            if v.shape[-1] > self.dimension:
+                raise ValueError(
+                    f"sparse width {v.shape[-1]} exceeds dimension "
+                    f"{self.dimension}"
+                )
+            out = np.full((v.shape[0], self.d_pad), -1, np.int32)
+            out[:, : v.shape[-1]] = np.sort(
+                np.where(v < 0, np.iinfo(np.int32).max, v), axis=-1
+            )
+            out[out == np.iinfo(np.int32).max] = -1
+            return out
         if v.shape[-1] != self.dimension:
             raise ValueError(
                 f"dimension mismatch: got {v.shape[-1]}, want {self.dimension}"
@@ -160,7 +192,7 @@ class VectorStore:
         if not (0 < oid < self._size) or not self._valid[oid]:
             raise KeyError(f"no such object id: {oid}")
         self._valid[oid] = False
-        self._x[oid] = 0
+        self._x[oid] = self._pad_value
         heapq.heappush(self._free, int(oid))
         self._dirty = True
 
@@ -203,6 +235,8 @@ class VectorStore:
         """Pad (and for normalized metrics, normalize) queries
         (reference allocates query objects the same way it allocates stored
         objects; ObjectSpaceRepository.h:560-618)."""
+        if self.sparse:
+            return jnp.asarray(self._prepare(np.asarray(q, dtype=np.int64)))
         q = np.asarray(q, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
