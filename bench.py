@@ -29,6 +29,16 @@ def load_dataset():
 
 
 def main():
+    import jax
+
+    # persistent compile cache: the search kernel compile (~20-60 s on the
+    # tunneled TPU) amortizes across bench runs
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
     import ngt_tpu
 
     data, name = load_dataset()
@@ -39,6 +49,8 @@ def main():
     qi = rng.choice(len(data), size=n_q, replace=False)
     queries = data[qi] + rng.normal(size=(n_q, data.shape[1])).astype(np.float32)
 
+    from ngt_tpu.ops.bruteforce import recall_at_k
+
     t0 = time.time()
     idx = ngt_tpu.create(None, dimension=data.shape[1])
     idx.batch_insert(data, build=True)
@@ -47,24 +59,54 @@ def main():
     gt_ids, _ = idx.batch_linear_search(queries, size=10)
     gt_ids = np.asarray(gt_ids)
 
-    best = None
-    for eps in (0.02, 0.05, 0.1, 0.15, 0.2, 0.3):
-        ids, _ = idx.batch_search(queries, size=10, epsilon=eps)  # compile+warm
-        t0 = time.time()
-        reps = 3
+    def timed(fn, reps=3):
+        """min-of-reps wall time (the reference's trial scheme,
+        Command.cpp:302-318) — robust to shared-TPU throughput noise."""
+        fn()  # compile + warm
+        best_dt = float("inf")
+        ids = None
         for _ in range(reps):
-            ids, dists = idx.batch_search(queries, size=10, epsilon=eps)
-        dt = (time.time() - t0) / reps
-        from ngt_tpu.ops.bruteforce import recall_at_k
+            t0 = time.time()
+            ids, _ = fn()
+            best_dt = min(best_dt, time.time() - t0)
+        return ids, best_dt
 
+    best = None
+    for eps in (0.02, 0.05, 0.1, 0.2):
+        ids, dt = timed(
+            lambda e=eps: idx.batch_search(queries, size=10, epsilon=e)
+        )
         rec = recall_at_k(np.asarray(ids), gt_ids, 10)
         qps = n_q / dt
         print(
-            f"# eps={eps} recall@10={rec:.4f} qps={qps:.0f} build={build_s:.1f}s",
+            f"# anng eps={eps} recall@10={rec:.4f} qps={qps:.0f} build={build_s:.1f}s",
             file=sys.stderr,
         )
         if rec >= 0.90 and (best is None or qps > best[0]):
             best = (qps, rec, eps)
+
+    # quantized-graph operating points (the reference's own headline curve
+    # is NGT-qg; result_expansion default 3.0, bin/ngtqg/README.md:62-69)
+    try:
+        from ngt_tpu.quant.qgraph import QuantizedGraphIndex
+
+        qg = QuantizedGraphIndex.quantize(idx, mode="sq8")
+        for eps, rexp in ((0.02, 3.0), (0.02, 6.0), (0.05, 3.0), (0.1, 3.0)):
+            ids, dt = timed(
+                lambda e=eps, r=rexp: qg.batch_search(
+                    queries, size=10, epsilon=e, result_expansion=r
+                )
+            )
+            rec = recall_at_k(np.asarray(ids), gt_ids, 10)
+            qps = n_q / dt
+            print(
+                f"# qg-sq8 eps={eps} exp={rexp} recall@10={rec:.4f} qps={qps:.0f}",
+                file=sys.stderr,
+            )
+            if rec >= 0.90 and (best is None or qps > best[0]):
+                best = (qps, rec, eps)
+    except Exception as exc:  # pragma: no cover
+        print(f"# qg bench skipped: {exc}", file=sys.stderr)
 
     if best is None:
         qps, rec, eps = 0.0, 0.0, 0.0

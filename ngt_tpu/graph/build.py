@@ -62,7 +62,7 @@ def _scatter_all(x, valid, sqnorm, nbr, obj_idx, obj_rows, obj_valid,
 
 def _fused_insert_search(
     x, nbr, valid, sqnorm, rep_rows, rep_sq, rep_ids, queries, qvalid, eps,
-    *, metric, k, kb, s, width, hash_bits, exact_hash,
+    *, metric, k, kb, s, width, hash_bits, exact_hash, expand=1,
 ):
     """Seed scoring + insertion search + intra-batch pairwise top-k as ONE
     device program (the whole device side of a build batch)."""
@@ -73,7 +73,8 @@ def _fused_insert_search(
     res = graph_search(
         x, nbr, valid, queries, seeds,
         metric=metric, k=k, epsilon=eps, width=width,
-        hash_bits=hash_bits, exact_hash=exact_hash, x_sqnorm=sqnorm,
+        hash_bits=hash_bits, exact_hash=exact_hash, expand=expand,
+        x_sqnorm=sqnorm,
     )
     # intra-batch pairwise (reference Index.cpp:687-703); padded/dup rows
     # are masked via qvalid so they cannot appear as 0-distance neighbors
@@ -89,7 +90,7 @@ def _fused_insert_search(
 _fused_insert_search_jit = jax.jit(
     _fused_insert_search,
     static_argnames=("metric", "k", "kb", "s", "width", "hash_bits",
-                     "exact_hash"),
+                     "exact_hash", "expand"),
 )
 
 
@@ -281,6 +282,7 @@ def build_anng(
             jnp.asarray(qrows), jnp.asarray(qvalid), eps,
             metric=metric, k=k, kb=kb, s=max(prop.seed_size, 10),
             width=max(32, 2 * k), hash_bits=bits, exact_hash=exact,
+            expand=max(prop.search_expand, 1),
         )
         f_ids, f_d, b_ids, b_d = jax.device_get((f_ids, f_d, b_ids, b_d))
         found_i, found_d = f_ids[:bsz], f_d[:bsz]

@@ -70,8 +70,8 @@ def _hash_ids(ids: jax.Array, hash_bits: int, exact: bool) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "metric", "k", "width", "max_iters", "hash_bits",
-        "exact_hash", "scorer",
+        "metric", "k", "k_radius", "width", "max_iters", "hash_bits",
+        "exact_hash", "expand", "scorer", "block_mode",
     ),
 )
 def graph_search(
@@ -83,6 +83,12 @@ def graph_search(
     *,
     metric: DistanceType,
     k: int,
+    k_radius: int = 0,        # rank that drives the radius-shrink rule;
+                              # 0 = k.  Setting k_radius < k returns k
+                              # candidates while exploring with the tighter
+                              # k_radius radius (the quantized-graph
+                              # result-expansion pattern: candidates beyond
+                              # k_radius ride along in the pool for free)
     epsilon: float | jax.Array = DEFAULT_EPSILON,
     radius: float | jax.Array = jnp.inf,
     width: int = 64,
@@ -94,11 +100,23 @@ def graph_search(
     max_iters: int = 0,       # 0 = auto
     hash_bits: int = 16,
     exact_hash: bool = False,
+    expand: int = 1,          # candidates expanded per step (static); >1
+                              # trades distance computations for ~expand x
+                              # fewer sequential loop steps
     x_sqnorm: jax.Array | None = None,
     scorer=None,              # static callable(queries, rows, rows_sq, q_sq)
                               # -> [B, E]; None = metric distance.  Lets the
                               # quantized-graph search drop in a PQ-LUT
                               # scorer while reusing this traversal.
+    block_mode: bool = False, # when True, `x` holds PER-NODE NEIGHBOR blocks
+                              # [N, E*M]: one contiguous row read per expanded
+                              # node scores ALL its neighbors (the reference's
+                              # QuantizedNode stream, QuantizedGraph.h:64-115;
+                              # random per-neighbor gathers are the TPU
+                              # bottleneck at ~1% of HBM bandwidth).  Seed
+                              # scoring then uses `seed_x` (flat per-object
+                              # rows).
+    seed_x: jax.Array | None = None,
 ) -> SearchResult:
     """One batched k-NN search over a fixed proximity graph."""
     n_pad, e_max = nbr.shape
@@ -124,10 +142,11 @@ def graph_search(
             return D.gathered(metric, qs, rows, xs_sqnorm=rows_sq, q_sqnorm=qsq)
 
     # ---- seed scoring (reference setupDistances/setupSeeds, Graph.cpp:243-394)
+    seed_src = seed_x if block_mode else x
     seed_ok = (seed_ids >= 0) & jnp.take(
         valid, jnp.clip(seed_ids, 0, n_pad - 1), axis=0
     )
-    seed_rows = jnp.take(x, jnp.clip(seed_ids, 0, n_pad - 1), axis=0)
+    seed_rows = jnp.take(seed_src, jnp.clip(seed_ids, 0, n_pad - 1), axis=0)
     seed_sq = (
         jnp.take(x_sqnorm, jnp.clip(seed_ids, 0, n_pad - 1), axis=0)
         if x_sqnorm is not None
@@ -163,15 +182,20 @@ def graph_search(
     rowsel = jnp.arange(b)
 
     nbr_e = nbr
-    edge_cols = jax.lax.broadcasted_iota(_I32, (1, e), 1)
+    edge_cols3 = jax.lax.broadcasted_iota(_I32, (1, 1, e), 2)
+
+    kr = k_radius if 0 < k_radius <= k else k
 
     def radius_of(pd):
-        rk = pd[:, k - 1] if k <= w else pd[:, -1]
+        rk = pd[:, kr - 1] if kr <= w else pd[:, -1]
         return jnp.minimum(rk, radius0)
 
     def cond(state):
         it, _, _, _, _, done_, _, _ = state
         return jnp.logical_and(it < max_iters, jnp.logical_not(jnp.all(done_)))
+
+    p = max(int(expand), 1)
+    pe = p * e
 
     def body(state):
         it, pool_d, pool_i, pool_e, visited, done_, vc, dc = state
@@ -182,26 +206,41 @@ def graph_search(
         cand = (~pool_e) & (pool_i >= 0) & (pool_d <= er[:, None])
         has = jnp.any(cand, axis=1)
         new_done = done_ | ~has
-        cur_idx = jnp.argmax(cand, axis=1)                    # first unexpanded
-        cur_id = pool_i[rowsel, cur_idx]
+        live = ~new_done
+
+        # select the p best unexpanded candidates (p=1 reproduces the
+        # reference's one-pop-per-step best-first order exactly; p>1 trades
+        # extra distance computations for ~p x fewer sequential steps — the
+        # batched-expansion idea of GPU graph searchers)
+        if p == 1:
+            cur_idx = jnp.argmax(cand, axis=1)[:, None]
+        else:
+            pos = jax.lax.broadcasted_iota(_I32, (b, w), 1)
+            score = jnp.where(cand, pos, jnp.int32(w + 1))
+            _, cur_idx = jax.lax.top_k(-score, p)             # [B, p]
+        sel_ok = jnp.take_along_axis(cand, cur_idx, axis=1) & live[:, None]
+        cur_id = jnp.take_along_axis(pool_i, cur_idx, axis=1)  # [B, p]
         cur_id_safe = jnp.clip(cur_id, 0, n_pad - 1)
 
-        live = ~new_done
-        # mark expanded (pop from unchecked)
-        pool_e = pool_e.at[rowsel, cur_idx].set(pool_e[rowsel, cur_idx] | live)
-        # mark visited bitmap
+        # mark expanded (pop from unchecked) + visited bitmap
         h = _hash_ids(cur_id_safe, hash_bits, exact_hash)
         word, bit = (h >> _U32(5)).astype(_I32), (h & _U32(31))
-        oldw = visited[rowsel, word]
-        visited = visited.at[rowsel, word].set(
-            jnp.where(live, oldw | (_U32(1) << bit), oldw)
-        )
+        for j in range(p):
+            pool_e = pool_e.at[rowsel, cur_idx[:, j]].set(
+                pool_e[rowsel, cur_idx[:, j]] | sel_ok[:, j]
+            )
+            oldw = visited[rowsel, word[:, j]]
+            visited = visited.at[rowsel, word[:, j]].set(
+                jnp.where(sel_ok[:, j], oldw | (_U32(1) << bit[:, j]), oldw)
+            )
 
-        # gather neighbors of the expanded node (first edge_limit edges only,
-        # the reference's edgeSize policy; Graph.h:675-692)
-        nb = jnp.take(nbr_e, cur_id_safe, axis=0)             # [B, e]
-        nb = jnp.where(edge_cols < edge_limit, nb, -1)
-        nb_ok = (nb >= 0) & live[:, None]
+        # gather neighbors of the expanded nodes (first edge_limit edges
+        # only, the reference's edgeSize policy; Graph.h:675-692)
+        nb = jnp.take(nbr_e, cur_id_safe, axis=0)             # [B, p, e]
+        nb = jnp.where(edge_cols3 < edge_limit, nb, -1)
+        nb = nb.reshape(b, pe)
+        blk_ok = jnp.repeat(sel_ok, e, axis=1)                # [B, p*e]
+        nb_ok = (nb >= 0) & blk_ok
         nb_safe = jnp.clip(nb, 0, n_pad - 1)
         nb_ok &= jnp.take(valid, nb_safe, axis=0)
 
@@ -214,16 +253,37 @@ def graph_search(
         # entries are exactly the reference's unchecked set)
         inpool = jnp.any(nb[:, :, None] == pool_i[:, None, :], axis=2)
         nb_ok &= ~inpool
+        if p > 1:
+            # neighbors of different expanded nodes may overlap — dedupe
+            # within the candidate set (same sort trick as seed dedup)
+            dd = jnp.where(nb_ok, nb, -1)
+            srt2 = jnp.sort(dd, axis=1)
+            dup2 = jnp.concatenate(
+                [jnp.zeros((b, 1), bool),
+                 (srt2[:, 1:] == srt2[:, :-1]) & (srt2[:, 1:] >= 0)], axis=1
+            )
+            order2 = jnp.argsort(dd, axis=1)
+            inv2 = jnp.zeros((b, pe), bool).at[
+                rowsel[:, None], order2
+            ].set(dup2)
+            nb_ok &= ~inv2
 
-        vc = vc + jnp.sum((nb >= 0) & live[:, None], axis=1, dtype=_I32)
+        vc = vc + jnp.sum((nb >= 0) & blk_ok, axis=1, dtype=_I32)
         dc = dc + jnp.sum(nb_ok, axis=1, dtype=_I32)
 
-        rows = jnp.take(x, nb_safe, axis=0)                   # [B, e, D]
-        rsq = (
-            jnp.take(x_sqnorm, nb_safe, axis=0)
-            if x_sqnorm is not None
-            else None
-        )
+        if block_mode:
+            # ONE contiguous block row per expanded node scores all its
+            # neighbors at once (order matches the adjacency row)
+            blocks = jnp.take(x, cur_id_safe, axis=0)         # [B, p, E*M]
+            rows = blocks.reshape(b, p, e, -1).reshape(b, pe, -1)
+            rsq = None
+        else:
+            rows = jnp.take(x, nb_safe, axis=0)               # [B, pe, D]
+            rsq = (
+                jnp.take(x_sqnorm, nb_safe, axis=0)
+                if x_sqnorm is not None
+                else None
+            )
         nd = scorer(queries, rows, rsq, q_sq)
         # admission: push to unchecked iff dist <= explorationRadius
         # (Graph.cpp:605-607); anything farther can never become a result
@@ -232,7 +292,7 @@ def graph_search(
 
         md = jnp.concatenate([pool_d, nd], axis=1)
         mi = jnp.concatenate([pool_i, ni], axis=1)
-        me = jnp.concatenate([pool_e, jnp.zeros((b, e), bool)], axis=1)
+        me = jnp.concatenate([pool_e, jnp.zeros((b, pe), bool)], axis=1)
         md, mi, me = jax.lax.sort((md, mi, me), dimension=1, num_keys=2)
         pool_d, pool_i, pool_e = md[:, :w], mi[:, :w], me[:, :w]
 
@@ -268,7 +328,7 @@ def graph_search(
 def _seeded_search(
     x, nbr, valid, sqnorm, rep_rows, rep_sq, rep_ids, queries, epsilon,
     radius, edge_size, *, metric, k, s, width, max_iters, hash_bits,
-    exact_hash,
+    exact_hash, expand=1,
 ):
     """Seed scoring (one matmul over representative rows) + graph search as
     a single device program — one dispatch per query batch."""
@@ -279,7 +339,7 @@ def _seeded_search(
         x, nbr, valid, queries, seeds,
         metric=metric, k=k, epsilon=epsilon, radius=radius, width=width,
         edge_size=edge_size, max_iters=max_iters, hash_bits=hash_bits,
-        exact_hash=exact_hash, x_sqnorm=sqnorm,
+        exact_hash=exact_hash, expand=expand, x_sqnorm=sqnorm,
     )
 
 
@@ -287,6 +347,6 @@ seeded_search = jax.jit(
     _seeded_search,
     static_argnames=(
         "metric", "k", "s", "width", "max_iters", "hash_bits",
-        "exact_hash",
+        "exact_hash", "expand",
     ),
 )

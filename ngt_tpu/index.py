@@ -161,6 +161,7 @@ class Index:
         radius: float = float("inf"),
         edge_size: int = -1,
         width: int = 0,
+        expand: int = 0,
         expected_accuracy: float = -1.0,
         with_stats: bool = False,
     ):
@@ -227,6 +228,7 @@ class Index:
             max_iters=0,
             hash_bits=bits,
             exact_hash=exact,
+            expand=expand if expand > 0 else max(self.prop.search_expand, 1),
         )
         ids = self._ext(np.asarray(res.ids)[:b])
         dists = np.asarray(res.dists)[:b]

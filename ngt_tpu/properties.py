@@ -149,6 +149,9 @@ class Property:
     #: device build batch (the reference uses batch_size_for_creation=200 for
     #: its thread pool; on TPU larger batches amortize dispatch)
     device_batch_size: int = 1024
+    #: candidates expanded per search step (1 = exact reference best-first
+    #: order; >1 = fewer sequential steps, more distance computations)
+    search_expand: int = 1
 
     # -- NGT prf key mapping (reference Index.h:105-190, Graph.h:423-489) --
     _PRF_KEYS = {
@@ -185,6 +188,7 @@ class Property:
         "VisitedBitsLog2": ("visited_bits_log2", int),
         "SeedCentroids": ("seed_centroids", int),
         "DeviceBatchSize": ("device_batch_size", int),
+        "SearchExpand": ("search_expand", int),
     }
 
     _ENUM_FIELDS = {

@@ -68,18 +68,19 @@ def adc_gathered(lut_flat: jax.Array, codes: jax.Array, rows_sq=None,
                  q_sq=None) -> jax.Array:
     """PQ scorer with the graph_search scorer signature.
     lut_flat: [B, M*K] (LUT reshaped); codes: [B, E, M] uint8 gathered rows.
-    Returns approximate squared distances [B, E]."""
+    Returns approximate squared distances [B, E].
+
+    Formulated as a one-hot masked sum instead of take_along_axis: the
+    gather lowering materializes the [B, E, M, K] broadcast, while eq+mul+
+    reduce fuses into one VPU loop — the TPU stand-in for the reference's
+    vpshufb LUT shuffle (Quantizer.h:957-1095)."""
     b = lut_flat.shape[0]
     e, m = codes.shape[1], codes.shape[2]
     k = lut_flat.shape[1] // m
-    lut = lut_flat.reshape(b, m, k)
-    idx = codes.astype(jnp.int32)                           # [B, E, M]
-    # gather lut[b, m, idx[b, e, m]] -> [B, E, M]
-    vals = jnp.take_along_axis(
-        lut[:, None, :, :],                                 # [B, 1, M, K]
-        idx[:, :, :, None],                                 # [B, E, M, 1]
-        axis=3,
-    )[..., 0]
+    lut = lut_flat.reshape(b, 1, m, k)
+    idx = codes.astype(jnp.int32)[:, :, :, None]            # [B, E, M, 1]
+    kk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, k), 3)
+    vals = jnp.sum(jnp.where(idx == kk, lut, 0.0), axis=3)  # [B, E, M]
     return jnp.sum(vals, axis=-1)
 
 

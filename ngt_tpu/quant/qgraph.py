@@ -48,45 +48,88 @@ def _exact_rerank(x, queries, cand_ids, cand_ok, metric, k):
 
 
 class QuantizedGraphIndex:
-    """NGTQG-style index: exact vectors + PQ codes + the host index's graph.
+    """NGTQG-style index: exact vectors + quantized codes + the host index's
+    graph.  Two code formats:
+
+    * ``sq8`` (default): per-vector int8 scalar quantization with ONE global
+      scale — scoring is a plain (scaled) L2 over 128-lane int8 rows, the
+      layout the TPU VPU actually likes.  A single scale keeps the ranking
+      EXACTLY monotone with true quantized L2.
+    * ``pq4``: the reference's 4-bit product codes + LUT sum
+      (QuantizedGraph.h:24, Quantizer.h:957-1095) — kept for parity and for
+      memory-constrained deployments (0.5 B/dim vs 1 B/dim).
 
     Build from a finished Index via ``quantize`` (the analogue of
     ``ngtqg quantize``; NGTQG::Index::quantize, QuantizedGraph.h:456-475)."""
 
-    def __init__(self, index, pq: ProductQuantizer, codes: np.ndarray):
+    def __init__(self, index, pq: ProductQuantizer | None, codes: np.ndarray,
+                 mode: str = "pq4", sq_scale: float = 1.0):
         self.index = index
         self.pq = pq
-        self.codes = codes                    # [cap, M] uint8 (host)
+        self.codes = codes  # [cap, M] uint8 (pq4) or [cap, D_pad] int8 (sq8)
+        self.mode = mode
+        self.sq_scale = float(sq_scale)
         self._codes_dev = None
 
     # ------------------------------------------------------------------
     @classmethod
     def quantize(
         cls, index, dsub: int = 2, ksub: int = 16, iters: int = 20,
+        mode: str = "sq8",
     ) -> "QuantizedGraphIndex":
         store = index.store
         d_pad = store.d_pad
-        # quantize over the padded dim so code gathers align with the mirror
-        pq = ProductQuantizer(d_pad, dsub=dsub, ksub=ksub)
         n = store.repository_size
         live = store._valid[:n]
         x = store._x[:n].astype(np.float32)
+        if mode == "sq8":
+            scale = float(np.abs(x[live]).max()) / 127.0 if live.any() else 1.0
+            scale = scale or 1.0
+            codes = np.zeros((store._x.shape[0], d_pad), np.int8)
+            codes[:n][live] = np.clip(
+                np.round(x[live] / scale), -127, 127
+            ).astype(np.int8)
+            return cls(index, None, codes, mode="sq8", sq_scale=scale)
+        # quantize over the padded dim so code gathers align with the mirror
+        pq = ProductQuantizer(d_pad, dsub=dsub, ksub=ksub)
         pq.fit(x[live], iters=iters)
         codes = np.zeros((store._x.shape[0], pq.m), np.uint8)
         codes[:n][live] = pq.encode(x[live])
-        return cls(index, pq, codes)
+        return cls(index, pq, codes, mode="pq4")
 
     # ------------------------------------------------------------------
     def _dev_codes(self):
         cap = self.index.store._x.shape[0]
         if self.codes.shape[0] < cap:
-            grown = np.zeros((cap, self.pq.m), np.uint8)
+            grown = np.zeros((cap, self.codes.shape[1]), self.codes.dtype)
             grown[: self.codes.shape[0]] = self.codes
             self.codes = grown
             self._codes_dev = None
         if self._codes_dev is None:
             self._codes_dev = jnp.asarray(self.codes)
         return self._codes_dev
+
+    def _dev_blocks(self):
+        """Per-node neighbor code blocks [N, E*M] — the reference's
+        QuantizedNode stream (QuantizedGraph.h:64-115): one contiguous row
+        read per hop scores every neighbor (random per-neighbor gathers run
+        at ~1% of HBM bandwidth on TPU; contiguous block rows do not)."""
+        codes = self._dev_codes()
+        cap = codes.shape[0]
+        mirror = self.index._ensure_mirror()
+        if (
+            getattr(self, "_blocks_dev", None) is not None
+            and self._blocks_dev.shape[0] == cap
+            and getattr(self, "_blocks_for", None) is id(mirror.nbr)
+        ):
+            return self._blocks_dev
+        self._blocks_for = id(mirror.nbr)
+        nbr = mirror.nbr
+        safe = jnp.clip(nbr, 0, cap - 1)
+        blocks = jnp.take(codes, safe, axis=0)        # [N, E, M]
+        blocks = blocks.reshape(cap, -1)
+        self._blocks_dev = blocks
+        return blocks
 
     def batch_search(
         self,
@@ -111,8 +154,15 @@ class QuantizedGraphIndex:
             q = jnp.concatenate([q, jnp.tile(q[:1], (bpad - b0, 1))], axis=0)
 
         k_exp = max(int(math.ceil(size * max(result_expansion, 1.0))), size)
-        lut = self.pq.lut(np.asarray(q))                   # [B, M, K]
-        lut_flat = lut.reshape(lut.shape[0], -1)
+        if self.mode == "sq8":
+            # scaled queries: d_scaled = ||q/s - c||, monotone with the true
+            # quantized distance (single global scale) — plain L2 scorer
+            queries_dev = jnp.asarray(q, jnp.float32) / self.sq_scale
+            scorer = None
+        else:
+            lut = self.pq.lut(np.asarray(q))               # [B, M, K]
+            queries_dev = lut.reshape(lut.shape[0], -1)
+            scorer = adc_gathered
 
         if idx.seeder.num_reps == 0 and idx.graph.node_count() > 0:
             live = np.nonzero(idx.graph._has_node)[0].astype(np.int32)
@@ -129,19 +179,22 @@ class QuantizedGraphIndex:
             else min(int(edge_size), idx.graph.e_max)
         )
         res = graph_search(
-            self._dev_codes(),
+            self._dev_blocks(),
             mirror.nbr,
             mirror.valid,
-            lut_flat,
+            queries_dev,
             seeds,
             metric=DistanceType.L2,
             k=k_exp,
+            k_radius=int(size),
             epsilon=float(epsilon),
             width=width if width > 0 else max(64, 2 * k_exp),
             edge_size=int(e),
             hash_bits=bits,
             exact_hash=exact,
-            scorer=adc_gathered,
+            scorer=scorer,
+            block_mode=True,
+            seed_x=self._dev_codes(),
         )
         ids, dists = _exact_rerank(
             mirror.x, q, res.ids, res.ids >= 0, idx.store.metric, int(size)
@@ -173,10 +226,13 @@ class QuantizedGraphIndex:
         qg = os.path.join(base, "qg")
         os.makedirs(qg, exist_ok=True)
         n = self.index.store.repository_size
+        extra = self.pq.state_dict() if self.pq is not None else {}
         np.savez(
             os.path.join(qg, "quantized.npz"),
             codes=self.codes[:n],
-            **self.pq.state_dict(),
+            mode=self.mode,
+            sq_scale=self.sq_scale,
+            **extra,
         )
 
     @classmethod
@@ -185,6 +241,14 @@ class QuantizedGraphIndex:
 
         idx = open_index(path)
         st = np.load(os.path.join(path, "qg", "quantized.npz"))
+        mode = str(st["mode"]) if "mode" in st else "pq4"
+        if mode == "sq8":
+            codes = np.zeros(
+                (idx.store._x.shape[0], st["codes"].shape[1]), np.int8
+            )
+            codes[: st["codes"].shape[0]] = st["codes"]
+            return cls(idx, None, codes, mode="sq8",
+                       sq_scale=float(st["sq_scale"]))
         pq = ProductQuantizer.from_state(
             {k: st[k] for k in ("codebooks", "mean", "dsub", "ksub", "dimension")}
         )
