@@ -50,6 +50,10 @@ def _epsilon_list(spec: str):
 
 
 def cmd_create(args):
+    from ngt_tpu.properties import GraphType
+
+    gmap = {"a": GraphType.ANNG, "k": GraphType.KNNG,
+            "b": GraphType.BKNNG, "i": GraphType.IANNG}
     idx = ngt_tpu.create(
         args.index,
         dimension=args.dimension,
@@ -57,6 +61,7 @@ def cmd_create(args):
         edge_size_for_search=args.edge_size_for_search,
         distance_type=resolve_distance_type(args.distance_type),
         object_type=resolve_object_type(args.object_type),
+        graph_type=gmap.get(getattr(args, "graph_type", "a"), GraphType.ANNG),
     )
     if args.data:
         t0 = time.time()
@@ -389,6 +394,8 @@ def build_parser() -> argparse.ArgumentParser:
     c = sub.add_parser("create", help="create an index (+ optional data load)")
     c.add_argument("-d", "--dimension", type=int, required=True)
     c.add_argument("-D", "--distance-type", default="L2")
+    c.add_argument("-g", "--graph-type", default="a",
+                   help="a=ANNG, k=KNNG, b=BKNNG, i=IANNG")
     c.add_argument("-o", "--object-type", default="Float")
     c.add_argument("-E", "--edge-size-for-creation", type=int, default=10)
     c.add_argument("-S", "--edge-size-for-search", type=int, default=40)

@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from ngt_tpu.graph.search import graph_search
 from ngt_tpu.graph.storage import GraphStore
 from ngt_tpu.ops import distances as D
-from ngt_tpu.properties import DistanceType, Property
+from ngt_tpu.properties import DistanceType, GraphType, Property
 from ngt_tpu.seeds import Seeder
 from ngt_tpu.store import VectorStore
 
@@ -276,15 +276,38 @@ def build_anng(
 
         bits, exact = _hash_bits_for(mirror.capacity)
         kb = max(min(k, bpad - 1), 1)
-        f_ids, f_d, b_ids, b_d = _fused_insert_search_jit(
-            mirror.x, mirror.nbr, mirror.valid, mirror.sqnorm,
-            rep_rows, rep_sq, rep_ids_dev,
-            jnp.asarray(qrows), jnp.asarray(qvalid), eps,
-            metric=metric, k=k, kb=kb, s=max(prop.seed_size, 10),
-            width=max(32, 2 * k), hash_bits=bits, exact_hash=exact,
-            expand=max(prop.search_expand, 1),
+        exact_candidates = prop.graph_type in (
+            GraphType.KNNG, GraphType.BKNNG
         )
-        f_ids, f_d, b_ids, b_d = jax.device_get((f_ids, f_d, b_ids, b_d))
+        if exact_candidates:
+            # KNNG/BKNNG: exact kNN edges by brute force (the reference's
+            # searchForKNNGInsertion is a linear scan, Index.h:839-856)
+            from ngt_tpu.ops import bruteforce as BF
+
+            f_ids, f_d = BF.linear_search(
+                jnp.asarray(qrows), mirror.x, mirror.valid, metric, k,
+                x_sqnorm=mirror.sqnorm,
+            )
+            pb = D.pairwise(metric, jnp.asarray(qrows), jnp.asarray(qrows))
+            eye = np.eye(bpad, dtype=bool)
+            pbn = np.array(pb)
+            pbn[eye] = INF
+            pbn[:, ~qvalid] = INF
+            b_ids = np.argsort(pbn, axis=1, kind="stable")[:, :kb]
+            b_d = np.take_along_axis(pbn, b_ids, axis=1)
+            f_ids, f_d = jax.device_get((f_ids, f_d))
+        else:
+            f_ids, f_d, b_ids, b_d = _fused_insert_search_jit(
+                mirror.x, mirror.nbr, mirror.valid, mirror.sqnorm,
+                rep_rows, rep_sq, rep_ids_dev,
+                jnp.asarray(qrows), jnp.asarray(qvalid), eps,
+                metric=metric, k=k, kb=kb, s=max(prop.seed_size, 10),
+                width=max(32, 2 * k), hash_bits=bits, exact_hash=exact,
+                expand=max(prop.search_expand, 1),
+            )
+            f_ids, f_d, b_ids, b_d = jax.device_get(
+                (f_ids, f_d, b_ids, b_d)
+            )
         found_i, found_d = f_ids[:bsz], f_d[:bsz]
 
         # ---- intra-batch pairwise merge (reference Index.cpp:687-703):
@@ -308,13 +331,29 @@ def build_anng(
         sel_d = np.take_along_axis(cand_d, order, axis=1)
         sel_i[~np.isfinite(sel_d)] = -1
 
+        if prop.graph_type == GraphType.IANNG:
+            # mutual-k pruning (insertIANNGNode, Graph.h:628-635): keep a
+            # neighbor only if the new node would enter ITS current k-NN
+            tgt = np.clip(sel_i, 0, graph.capacity - 1)
+            kth = np.where(
+                graph.degree[tgt] >= k,
+                graph.nbr_dist[tgt, np.minimum(k, graph.e_max) - 1],
+                INF,
+            )
+            drop = (sel_i >= 0) & (sel_d > kth)
+            sel_d[drop] = INF
+            sel_i[drop] = -1
+
         graph.set_nodes(chunk, sel_i, sel_d)
         ok = sel_i >= 0
-        graph.add_edges(
-            sel_i[ok].astype(np.int64),
-            np.repeat(chunk, ok.sum(axis=1)).astype(np.int32),
-            sel_d[ok].astype(np.float32),
-        )
+        if prop.graph_type != GraphType.KNNG:
+            # reverse edges (ANNG/IANNG/BKNNG; KNNG is directed:
+            # insertKNNGNode adds none, Graph.h:577-609)
+            graph.add_edges(
+                sel_i[ok].astype(np.int64),
+                np.repeat(chunk, ok.sum(axis=1)).astype(np.int32),
+                sel_d[ok].astype(np.float32),
+            )
 
         affected = np.unique(
             np.concatenate([chunk.astype(np.int64), sel_i[ok].astype(np.int64)])

@@ -220,6 +220,93 @@ def make_sharded_build_step(
     return jax.jit(step, donate_argnums=(0, 1, 2))
 
 
+class ShardedIndex:
+    """High-level distributed index: objects round-robin over the mesh,
+    each shard a self-contained ANNG built by the host engine, queries
+    fanned out and merged over ICI.  This is the vald deployment pattern
+    (objects sharded across NGT agents, per-agent graphs, top-k merge;
+    reference README.md:30,97) as one SPMD program."""
+
+    def __init__(self, mesh: Mesh, shard_index: "ShardedGraphIndex",
+                 id_map: np.ndarray):
+        self.mesh = mesh
+        self._sharded = shard_index
+        self.id_map = id_map  # global slot -> original row index (-1 unused)
+
+    @classmethod
+    def build(
+        cls,
+        data: np.ndarray,
+        mesh: Mesh | None = None,
+        metric: DistanceType = DistanceType.L2,
+        edge_size_for_creation: int = 10,
+        max_edges: int = 48,
+        seed_size: int = 12,
+    ) -> "ShardedIndex":
+        """Build per-shard ANNGs with the single-chip engine, then lay the
+        shards out over the mesh."""
+        import ngt_tpu
+        from ngt_tpu.ops.bruteforce import pad_dim
+
+        mesh = mesh or make_mesh()
+        p = mesh.devices.size
+        data = np.asarray(data, np.float32)
+        n, dim = data.shape
+        d_pad = pad_dim(dim)
+        n_local = (n + p - 1) // p
+
+        x_s = np.zeros((p, n_local, d_pad), np.float32)
+        nbr_s = np.full((p, n_local, max_edges), -1, np.int32)
+        val_s = np.zeros((p, n_local), bool)
+        id_map = np.full((p * n_local,), -1, np.int64)
+        owner = np.arange(n) % p
+        for s in range(p):
+            rows = np.nonzero(owner == s)[0]
+            sub = ngt_tpu.create(
+                None, dimension=dim, distance_type=metric,
+                edge_size_for_creation=edge_size_for_creation,
+                max_edges=max_edges,
+            )
+            ids = sub.store.batch_insert(data[rows])
+            sub.build_index()
+            # local layout: slot j holds internal id ids[j]
+            x_s[s, : len(rows)] = sub.store._x[ids]
+            remap = np.full(sub.store._x.shape[0], -1, np.int32)
+            remap[ids] = np.arange(len(rows), dtype=np.int32)
+            adj = sub.graph.nbr_ids[ids][:, :max_edges]
+            ok = adj >= 0
+            loc = np.full_like(adj, -1)
+            loc[ok] = remap[adj[ok]]
+            nbr_s[s, : len(rows)] = loc
+            val_s[s, : len(rows)] = True
+            id_map[s * n_local : s * n_local + len(rows)] = rows
+        seeds_local = np.arange(
+            min(seed_size * 4, n_local), dtype=np.int32
+        )
+        sharded = ShardedGraphIndex(
+            mesh, x_s, nbr_s, val_s, seeds_local, metric
+        )
+        return cls(mesh, sharded, id_map)
+
+    def batch_search(self, queries: np.ndarray, size: int = 10,
+                     epsilon: float = 0.1, width: int = 64):
+        from ngt_tpu.ops.bruteforce import pad_dim
+
+        q = np.asarray(queries, np.float32)
+        d_pad = pad_dim(q.shape[1])
+        if q.shape[1] != d_pad:
+            qq = np.zeros((len(q), d_pad), np.float32)
+            qq[:, : q.shape[1]] = q
+            q = qq
+        ids, dists = self._sharded.search(
+            jnp.asarray(q), k=size, epsilon=epsilon, width=width
+        )
+        ids = np.asarray(ids)
+        dists = np.asarray(dists)
+        out = np.where(ids >= 0, self.id_map[np.clip(ids, 0, None)], -1)
+        return out.astype(np.int64), dists
+
+
 def build_local_knng_shards(
     x_s: np.ndarray, val_s: np.ndarray, e: int, metric: DistanceType
 ) -> np.ndarray:

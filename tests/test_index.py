@@ -172,3 +172,60 @@ def test_export_import(tmp_path, rng):
     assert len(idx2) == 200
     q = data[10]
     assert idx2.search(q, size=1)[0][0] == 10
+
+
+def test_knng_build_exact(rng):
+    """KNNG graph type: every node's edges are its exact k nearest
+    (insertKNNGNode; Graph.h:577-609), no reverse edges."""
+    from ngt_tpu.properties import GraphType
+
+    data = rng.normal(size=(400, 12)).astype(np.float32)
+    idx = ngt_tpu.create(
+        None, dimension=12, edge_size_for_creation=5,
+        graph_type=GraphType.KNNG,
+    )
+    idx.batch_insert(data, build=True)
+    d = np.linalg.norm(data[:, None, :] - data[None, :, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    want = np.sort(d, axis=1)[:, :5]
+    n = idx.store.repository_size
+    for oid in range(1, n, 37):
+        ids, dists = idx.graph.get_node(oid)
+        np.testing.assert_allclose(
+            dists[:5], want[oid - 1], rtol=1e-4, atol=1e-4
+        )
+
+
+def test_bknng_build_has_reverse_edges(rng):
+    from ngt_tpu.properties import GraphType
+
+    data = rng.normal(size=(300, 8)).astype(np.float32)
+    idx = ngt_tpu.create(
+        None, dimension=8, edge_size_for_creation=4,
+        graph_type=GraphType.BKNNG,
+    )
+    idx.batch_insert(data, build=True)
+    # for a sample of nodes, each forward edge has a reverse counterpart
+    n = idx.store.repository_size
+    checked = 0
+    for oid in range(1, n, 29):
+        ids, _ = idx.graph.get_node(oid)
+        for t in ids[:4]:
+            tids, _ = idx.graph.get_node(int(t))
+            if oid in tids:
+                checked += 1
+    assert checked > 0
+
+
+def test_ianng_build_and_recall(rng):
+    from ngt_tpu.properties import GraphType
+    from ngt_tpu.ops.bruteforce import recall_at_k
+
+    data = rng.normal(size=(800, 16)).astype(np.float32)
+    queries = rng.normal(size=(24, 16)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=16, graph_type=GraphType.IANNG)
+    idx.batch_insert(data, build=True)
+    assert idx.verify() == []
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+    ids, _ = idx.batch_search(queries, size=10, epsilon=0.2)
+    assert recall_at_k(np.asarray(ids), np.asarray(gt_ids), 10) >= 0.85

@@ -80,3 +80,38 @@ def test_graph_optimizer_pipeline(rng):
     ids, _ = idx.batch_search(queries, size=10, epsilon=0.15)
     rec = recall_at_k(np.asarray(ids), np.asarray(gt_ids), 10)
     assert rec >= 0.9, f"post-ONNG recall {rec}"
+
+
+def test_optimize_number_of_edges(rng):
+    data = rng.normal(size=(6000, 12)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=12)
+    idx.batch_insert(data, build=True)
+    out = O.optimize_number_of_edges(
+        idx, target_accuracy=0.9, start_size=1500, num_queries=48,
+    )
+    assert len(out["sizes"]) >= 2
+    assert out["recommended_edge_size_for_creation"] >= 5
+    assert out["target_size"] == 6000
+
+
+def test_statistics(built_index):
+    idx, _ = built_index
+    st = idx.statistics()
+    assert st["nodes"] == 1500
+    assert st["edges"] > 0
+    assert st["outdegree"]["max"] <= idx.graph.e_max
+    assert st["indegree"]["mean"] > 0
+    assert st["edge_length"]["mean"] > 0
+
+
+def test_build_time_limit(rng):
+    """The budget controller degrades epsilon instead of blowing the wall
+    clock (BuildTimeController analogue)."""
+    data = rng.normal(size=(3000, 16)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=16)
+    idx.prop.build_time_limit = 1e-9  # force immediate degradation
+    idx.batch_insert(data, build=True)
+    assert idx.verify() == []
+    # graph still searchable
+    res = idx.search(data[5], size=3, epsilon=0.2)
+    assert res[0][0] == 5

@@ -115,3 +115,33 @@ def test_graft_entry_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_index_end_to_end():
+    """High-level ShardedIndex: per-shard ANNG build + fan-out search."""
+    from ngt_tpu.parallel.sharding import ShardedIndex
+    from ngt_tpu.properties import DistanceType
+
+    rng = np.random.default_rng(13)
+    data = rng.normal(size=(1600, 24)).astype(np.float32)
+    queries = rng.normal(size=(16, 24)).astype(np.float32)
+
+    mesh = make_mesh(8)
+    sidx = ShardedIndex.build(data, mesh=mesh, metric=DistanceType.L2)
+    ids, dists = sidx.batch_search(queries, size=10, epsilon=0.2)
+
+    full = np.linalg.norm(queries[:, None, :] - data[None, :, :], axis=-1)
+    gt = np.argsort(full, axis=1)[:, :10]
+    hits = sum(
+        len(set(a.tolist()) & set(b.tolist())) for a, b in zip(ids, gt)
+    )
+    rec = hits / (len(queries) * 10)
+    assert rec >= 0.9, f"distributed recall {rec}"
+    # distances correspond to the returned (original) ids
+    np.testing.assert_allclose(
+        dists[0, 0], full[0, ids[0, 0]], rtol=1e-4
+    )
+    # self-query: nearest is the object itself
+    ids2, _ = sidx.batch_search(data[:4], size=1, epsilon=0.2)
+    assert (ids2[:, 0] == np.arange(4)).all()
