@@ -28,5 +28,6 @@ from ngt_tpu.properties import (  # noqa: F401
     Property,
 )
 from ngt_tpu.index import Index, create, open_index  # noqa: F401
+from ngt_tpu.utils import enable_log, disable_log  # noqa: F401
 
 __version__ = "0.1.0"

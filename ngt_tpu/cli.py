@@ -324,6 +324,20 @@ def cmd_repair(args):
     return 0 if not errs else 1
 
 
+def cmd_export_graph(args):
+    """Dump adjacency as text: `id: nbr:dist ...` per line (the role of
+    `ngt export-graph`, bin/ngt/ngt.cpp:105)."""
+    idx = ngt_tpu.open_index(args.index)
+    n = idx.store.repository_size
+    for oid in range(1, n):
+        if not idx.graph._has_node[oid]:
+            continue
+        ids, dists = idx.graph.get_node(oid)
+        row = "\t".join(f"{int(i)}:{float(d):g}" for i, d in zip(ids, dists))
+        sys.stdout.write(f"{oid}\t{row}\n")
+    return 0
+
+
 def cmd_info(args):
     idx = ngt_tpu.open_index(args.index)
     if args.mode == "v":
@@ -482,6 +496,10 @@ def build_parser() -> argparse.ArgumentParser:
     rp = sub.add_parser("repair", help="fix cross-structure inconsistencies")
     rp.add_argument("index")
     rp.set_defaults(fn=cmd_repair)
+
+    xg = sub.add_parser("export-graph", help="dump adjacency as text")
+    xg.add_argument("index")
+    xg.set_defaults(fn=cmd_export_graph)
 
     inf = sub.add_parser("info")
     inf.add_argument("-m", "--mode", default="-",

@@ -94,6 +94,85 @@ _fused_insert_search_jit = jax.jit(
 )
 
 
+def _fused_insert_search_sq8(
+    x, nbr, valid, sqnorm, blocks, codes, rep_rows, rep_sq, rep_ids,
+    queries, qvalid, eps, inv_scale,
+    *, metric, k, kb, s, width, hash_bits, exact_hash,
+):
+    """sq8 variant of the insertion-search program: the graph traversal
+    scores int8 neighbor BLOCKS (one contiguous read per hop — random
+    per-neighbor row gathers run near the HBM transaction envelope), then
+    the top candidates are re-ranked EXACTLY against the f32 rows so the
+    edges stored in the graph carry true distances.  Build quality matches
+    the exact path up to candidate-set differences from int8 rounding."""
+    sd = D.pairwise(metric, queries, rep_rows, x_sqnorm=rep_sq)
+    _, si = jax.lax.top_k(-sd, min(s, rep_rows.shape[0]))
+    seeds = jnp.take(rep_ids, si, axis=0)
+    k_cand = 2 * k
+    res = graph_search(
+        blocks, nbr, valid, queries.astype(jnp.float32) * inv_scale, seeds,
+        metric=DistanceType.L2, k=k_cand, k_radius=k, epsilon=eps,
+        width=width, hash_bits=hash_bits, exact_hash=exact_hash,
+        block_mode=True, seed_x=codes,
+    )
+    # exact re-rank of the candidate set
+    safe = jnp.clip(res.ids, 0, x.shape[0] - 1)
+    rows = jnp.take(x, safe, axis=0)
+    rsq = jnp.take(sqnorm, safe, axis=0) if sqnorm is not None else None
+    dd = D.gathered(metric, queries, rows, xs_sqnorm=rsq)
+    dd = jnp.where(res.ids >= 0, dd, jnp.inf)
+    neg, sel = jax.lax.top_k(-dd, k)
+    f_ids = jnp.take_along_axis(res.ids, sel, axis=1)
+    f_d = -neg
+    f_ids = jnp.where(jnp.isfinite(f_d), f_ids, -1)
+
+    pb = D.pairwise(metric, queries, queries)
+    b = queries.shape[0]
+    eye = jax.lax.broadcasted_iota(jnp.int32, (b, b), 0) == \
+        jax.lax.broadcasted_iota(jnp.int32, (b, b), 1)
+    pb = jnp.where(eye | ~qvalid[None, :], jnp.inf, pb)
+    nbd, nbi = jax.lax.top_k(-pb, kb)
+    return f_ids, f_d, nbi.astype(jnp.int32), -nbd
+
+
+_fused_insert_search_sq8_jit = jax.jit(
+    _fused_insert_search_sq8,
+    static_argnames=("metric", "k", "kb", "s", "width", "hash_bits",
+                     "exact_hash"),
+)
+
+
+@jax.jit
+def _make_codes_blocks(x, nbr, inv_scale):
+    codes = jnp.clip(
+        jnp.round(x.astype(jnp.float32) * inv_scale), -127, 127
+    ).astype(jnp.int8)
+    safe = jnp.clip(nbr, 0, x.shape[0] - 1)
+    blocks = jnp.take(codes, safe, axis=0)
+    return codes, blocks
+
+
+#: metrics whose stored-vector scaled-L2 ranking is monotone with the metric
+#: (normalized metrics store unit vectors: L2^2 = 2-2cos)
+_SQ8_METRICS = (
+    DistanceType.L2,
+    DistanceType.NORMALIZED_L2,
+    DistanceType.NORMALIZED_COSINE,
+    DistanceType.NORMALIZED_ANGLE,
+)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _update_codes_blocks(codes, blocks, obj_idx, obj_codes, blk_idx, nbr_rows):
+    """Scatter fresh int8 codes for new objects and rebuild the neighbor
+    blocks of every row whose adjacency changed (blocks[u] = codes[nbr[u]])."""
+    codes = codes.at[obj_idx].set(obj_codes)
+    safe = jnp.clip(nbr_rows, 0, codes.shape[0] - 1)
+    fresh = jnp.take(codes, safe, axis=0)          # [T, E, D] int8
+    blocks = blocks.at[blk_idx].set(fresh)
+    return codes, blocks
+
+
 def _pad_ids(ids: np.ndarray, size: int) -> np.ndarray:
     """Pad an index list to a fixed size by repeating the first element
     (idempotent under scatter) — bounds jit recompiles to log2 buckets."""
@@ -252,6 +331,28 @@ def build_anng(
     )
     rep_ids_dev = jnp.asarray(seeder.rep_ids)
 
+    # sq8 insertion search: int8 neighbor blocks for the traversal + exact
+    # re-rank (see _fused_insert_search_sq8); only for metrics where the
+    # scaled-L2 ranking is monotone with the true metric.  Opt-in: measured
+    # on hardware, per-batch block MAINTENANCE (re-gathering codes for every
+    # adjacency row the batch touched) costs more random reads than the
+    # cheaper traversal saves, so "auto" resolves to the exact path; blocks
+    # pay off at query time where they are built once (quant.qgraph).
+    sq8 = (
+        prop.build_mode == "sq8"
+        and metric in _SQ8_METRICS
+        and prop.graph_type not in (GraphType.KNNG, GraphType.BKNNG)
+    )
+    codes_dev = blocks_dev = None
+    sq8_scale = 1.0
+    if sq8:
+        sample = store._x[pending[: min(len(pending), 4096)]]
+        peak = float(np.abs(sample).max()) if len(sample) else 1.0
+        sq8_scale = max(peak * 1.25, 1e-30) / 127.0
+        codes_dev, blocks_dev = _make_codes_blocks(
+            mirror.x, mirror.nbr, 1.0 / sq8_scale
+        )
+
     # build-time budget (reference BuildTimeController, Index.cpp:433-482):
     # degrade insertion ε (and thereby per-batch work) when the projected
     # build time would exceed prop.build_time_limit (hours in the reference;
@@ -296,6 +397,25 @@ def build_anng(
             b_ids = np.argsort(pbn, axis=1, kind="stable")[:, :kb]
             b_d = np.take_along_axis(pbn, b_ids, axis=1)
             f_ids, f_d = jax.device_get((f_ids, f_d))
+        elif sq8:
+            if np.abs(qrows).max() > 127.0 * sq8_scale:
+                # outlier beyond the int8 range: grow the scale and re-encode
+                sq8_scale *= 2.0
+                codes_dev, blocks_dev = _make_codes_blocks(
+                    mirror.x, mirror.nbr, 1.0 / sq8_scale
+                )
+            f_ids, f_d, b_ids, b_d = _fused_insert_search_sq8_jit(
+                mirror.x, mirror.nbr, mirror.valid, mirror.sqnorm,
+                blocks_dev, codes_dev,
+                rep_rows, rep_sq, rep_ids_dev,
+                jnp.asarray(qrows), jnp.asarray(qvalid), eps,
+                jnp.float32(1.0 / sq8_scale),
+                metric=metric, k=k, kb=kb, s=max(prop.seed_size, 10),
+                width=max(32, 2 * k), hash_bits=bits, exact_hash=exact,
+            )
+            f_ids, f_d, b_ids, b_d = jax.device_get(
+                (f_ids, f_d, b_ids, b_d)
+            )
         else:
             f_ids, f_d, b_ids, b_d = _fused_insert_search_jit(
                 mirror.x, mirror.nbr, mirror.valid, mirror.sqnorm,
@@ -359,6 +479,27 @@ def build_anng(
             np.concatenate([chunk.astype(np.int64), sel_i[ok].astype(np.int64)])
         )
         mirror.update_rows(chunk, affected)
+
+        if sq8:
+            if codes_dev.shape[0] != mirror.capacity:
+                # capacity grew: rebuild the code/block mirrors wholesale
+                codes_dev, blocks_dev = _make_codes_blocks(
+                    mirror.x, mirror.nbr, 1.0 / sq8_scale
+                )
+            else:
+                opad = _pad_ids(chunk, _bucket(len(chunk)))
+                apad = _pad_ids(
+                    affected.astype(np.int64), _bucket(len(affected))
+                )
+                obj_codes = np.clip(
+                    np.round(store._x[opad].astype(np.float32) / sq8_scale),
+                    -127, 127,
+                ).astype(np.int8)
+                codes_dev, blocks_dev = _update_codes_blocks(
+                    codes_dev, blocks_dev,
+                    jnp.asarray(opad), jnp.asarray(obj_codes),
+                    jnp.asarray(apad), jnp.asarray(graph.nbr_ids[apad]),
+                )
 
         if graph.node_count() >= next_seed_refresh:
             live = np.nonzero(graph._has_node)[0].astype(np.int32)

@@ -152,6 +152,11 @@ class Property:
     #: candidates expanded per search step (1 = exact reference best-first
     #: order; >1 = fewer sequential steps, more distance computations)
     search_expand: int = 1
+    #: insertion-search backend: "auto"/"exact" = f32 row gathers (the
+    #: reference's semantics exactly); "sq8" = int8 neighbor blocks + exact
+    #: re-rank (opt-in: block maintenance outweighs the traversal savings on
+    #: current hardware — see graph/build.py)
+    build_mode: str = "auto"
 
     # -- NGT prf key mapping (reference Index.h:105-190, Graph.h:423-489) --
     _PRF_KEYS = {
@@ -189,6 +194,7 @@ class Property:
         "SeedCentroids": ("seed_centroids", int),
         "DeviceBatchSize": ("device_batch_size", int),
         "SearchExpand": ("search_expand", int),
+        "BuildMode": ("build_mode", str),
     }
 
     _ENUM_FIELDS = {

@@ -172,3 +172,24 @@ def test_cli_module_entrypoint(tmp_path):
     )
     assert r.returncode == 0
     assert "create" in r.stdout and "reconstruct-graph" in r.stdout
+
+
+def test_cli_export_graph(cli_index, capsys):
+    ipath, _, _ = cli_index
+    rc = cli_main(["export-graph", ipath])
+    out = capsys.readouterr().out
+    assert rc == 0
+    first = out.splitlines()[0].split("\t")
+    assert first[0] == "1" and ":" in first[1]
+
+
+def test_utils_probes_and_timer():
+    from ngt_tpu import utils
+
+    assert utils.get_process_vm_rss() > 0
+    assert utils.get_process_vm_peak() >= utils.get_process_vm_rss() // 2
+    t = utils.Timer().start()
+    t.stop()
+    assert t.time >= 0
+    utils.disable_log()
+    utils.enable_log()

@@ -229,3 +229,15 @@ def test_ianng_build_and_recall(rng):
     gt_ids, _ = idx.batch_linear_search(queries, size=10)
     ids, _ = idx.batch_search(queries, size=10, epsilon=0.2)
     assert recall_at_k(np.asarray(ids), np.asarray(gt_ids), 10) >= 0.85
+
+
+def test_sq8_build_mode(rng):
+    """Opt-in sq8 insertion search matches the exact build's recall."""
+    data = rng.normal(size=(1500, 16)).astype(np.float32)
+    queries = rng.normal(size=(32, 16)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=16, build_mode="sq8")
+    idx.batch_insert(data, build=True)
+    assert idx.verify() == []
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+    ids, _ = idx.batch_search(queries, size=10, epsilon=0.1)
+    assert recall_at_k(np.asarray(ids), np.asarray(gt_ids), 10) >= 0.88
