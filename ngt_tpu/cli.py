@@ -324,6 +324,28 @@ def cmd_repair(args):
     return 0 if not errs else 1
 
 
+def cmd_optimize_number_of_edges(args):
+    idx = ngt_tpu.open_index(args.index)
+    out = O.optimize_number_of_edges(
+        idx, target_accuracy=args.accuracy, target_size=args.size,
+    )
+    print(f"sizes={out['sizes']}")
+    print(f"edges={out['edges']}")
+    print(
+        "recommended edge_size_for_creation="
+        f"{out['recommended_edge_size_for_creation']}"
+    )
+    return 0
+
+
+def cmd_adjust_edge_size(args):
+    idx = ngt_tpu.open_index(args.index)
+    e = O.adjust_edge_size(idx, target_accuracy=args.accuracy)
+    idx.save()
+    print(f"edge_size_for_search={e if e > 0 else 'unlimited'}")
+    return 0
+
+
 def cmd_export_graph(args):
     """Dump adjacency as text: `id: nbr:dist ...` per line (the role of
     `ngt export-graph`, bin/ngt/ngt.cpp:105)."""
@@ -496,6 +518,19 @@ def build_parser() -> argparse.ArgumentParser:
     rp = sub.add_parser("repair", help="fix cross-structure inconsistencies")
     rp.add_argument("index")
     rp.set_defaults(fn=cmd_repair)
+
+    one = sub.add_parser("optimize-number-of-edges",
+                         help="extrapolate edge count for a target scale")
+    one.add_argument("-a", "--accuracy", type=float, default=0.9)
+    one.add_argument("-s", "--size", type=int, default=0)
+    one.add_argument("index")
+    one.set_defaults(fn=cmd_optimize_number_of_edges)
+
+    aes = sub.add_parser("adjust-edge-size",
+                         help="tune edge_size_for_search by measured QPS")
+    aes.add_argument("-a", "--accuracy", type=float, default=0.9)
+    aes.add_argument("index")
+    aes.set_defaults(fn=cmd_adjust_edge_size)
 
     xg = sub.add_parser("export-graph", help="dump adjacency as text")
     xg.add_argument("index")

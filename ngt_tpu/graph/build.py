@@ -306,6 +306,10 @@ def build_anng(
                 np.repeat(ids0, kk).astype(np.int32),
                 nd.ravel().astype(np.float32),
             )
+            if prop.truncation_threshold > 0:
+                graph.truncate_rows(
+                    ids0.astype(np.int64), int(prop.truncation_threshold)
+                )
         else:
             graph.set_nodes(
                 ids0,
@@ -474,6 +478,15 @@ def build_anng(
                 np.repeat(chunk, ok.sum(axis=1)).astype(np.int32),
                 sel_d[ok].astype(np.float32),
             )
+            if prop.truncation_threshold > 0:
+                # degree cap (the role of truncateEdgesOptimally,
+                # Graph.cpp:947-1131: the reference re-searches to pick
+                # survivors; rows are distance-sorted here so keeping the
+                # nearest `threshold` edges is the batched equivalent)
+                graph.truncate_rows(
+                    np.unique(sel_i[ok]).astype(np.int64),
+                    int(prop.truncation_threshold),
+                )
 
         affected = np.unique(
             np.concatenate([chunk.astype(np.int64), sel_i[ok].astype(np.int64)])

@@ -152,6 +152,18 @@ class GraphStore:
         self.degree[uniq] = (new_i >= 0).sum(axis=1)
         self._has_node[uniq] = True
 
+    def truncate_rows(self, oids: np.ndarray, threshold: int) -> None:
+        """Cap the given rows to their `threshold` nearest edges (rows are
+        kept distance-sorted, so this is a tail drop)."""
+        oids = np.asarray(oids, np.int64)
+        oids = oids[(oids >= 0) & (oids < self.capacity)]
+        over = oids[self.degree[oids] > threshold]
+        if len(over) == 0:
+            return
+        self.nbr_ids[over, threshold:] = -1
+        self.nbr_dist[over, threshold:] = INF
+        self.degree[over] = threshold
+
     def remove_node(self, oid: int) -> np.ndarray:
         """Tombstone a node; returns its former neighbor ids.  The caller is
         responsible for unlinking incoming edges (see build.remove_object —

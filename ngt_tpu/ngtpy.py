@@ -144,6 +144,17 @@ class Optimizer:
         if num_of_incomings > 0:
             self._in = num_of_incomings
 
+    def optimize_number_of_edges_for_anng(
+        self, index_path: str, target_accuracy: float = 0.9, **_ignored
+    ) -> int:
+        """ngtpy.Optimizer.optimize_number_of_edges_for_anng
+        (ngtpy.cpp:588-604)."""
+        idx = ngt_tpu.open_index(index_path)
+        out = _opt.optimize_number_of_edges(
+            idx, target_accuracy=target_accuracy
+        )
+        return out["recommended_edge_size_for_creation"]
+
 
 class QuantizedIndex:
     """ngtpy.QuantizedIndex (reference ngtpy.cpp:612-639): NGTQG search."""

@@ -241,3 +241,17 @@ def test_sq8_build_mode(rng):
     gt_ids, _ = idx.batch_linear_search(queries, size=10)
     ids, _ = idx.batch_search(queries, size=10, epsilon=0.1)
     assert recall_at_k(np.asarray(ids), np.asarray(gt_ids), 10) >= 0.88
+
+
+def test_truncation_threshold(rng):
+    """truncation_threshold caps reverse-edge growth (the role of
+    truncateEdgesOptimally, Graph.cpp:947-1131)."""
+    data = rng.normal(size=(600, 8)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=8, truncation_threshold=12)
+    idx.batch_insert(data, build=True)
+    n = idx.store.repository_size
+    deg = idx.graph.degree[:n][idx.graph._has_node[:n]]
+    assert deg.max() <= 12
+    assert idx.verify() == []
+    res = idx.search(data[50], size=3, epsilon=0.2)
+    assert res[0][0] == 50
