@@ -101,9 +101,20 @@ class Index:
         live = self.store._valid[:n]
         has = self.graph._has_node[:n]
         pending = np.nonzero(live & ~has)[0].astype(np.int32)
-        self._mirror = build_anng(
-            self.store, self.graph, self.seeder, self.prop, pending, self._mirror
-        )
+        algo = self.prop.build_algorithm
+        fresh = self.graph.node_count() == 0
+        if algo == "bulk" or (algo == "auto" and fresh and len(pending) > 0):
+            from ngt_tpu.graph.build import build_bulk
+
+            self._mirror = build_bulk(
+                self.store, self.graph, self.seeder, self.prop, pending,
+                self._mirror,
+            )
+        else:
+            self._mirror = build_anng(
+                self.store, self.graph, self.seeder, self.prop, pending,
+                self._mirror,
+            )
 
     def remove(self, external_id: int) -> None:
         oid = self._int(external_id)

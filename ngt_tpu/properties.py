@@ -157,6 +157,10 @@ class Property:
     #: re-rank (opt-in: block maintenance outweighs the traversal savings on
     #: current hardware — see graph/build.py)
     build_mode: str = "auto"
+    #: graph construction: "auto" = bulk exact-KNN matmul for fresh indexes,
+    #: incremental batched search for appends; "incremental" forces the
+    #: reference-style growth; "bulk" forces the matmul path
+    build_algorithm: str = "auto"
 
     # -- NGT prf key mapping (reference Index.h:105-190, Graph.h:423-489) --
     _PRF_KEYS = {
@@ -195,6 +199,7 @@ class Property:
         "DeviceBatchSize": ("device_batch_size", int),
         "SearchExpand": ("search_expand", int),
         "BuildMode": ("build_mode", str),
+        "BuildAlgorithm": ("build_algorithm", str),
     }
 
     _ENUM_FIELDS = {
