@@ -108,6 +108,32 @@ def main():
     except Exception as exc:  # pragma: no cover
         print(f"# qg bench skipped: {exc}", file=sys.stderr)
 
+    # angular-metric spot-check (the glove-100-angular axis of the baseline;
+    # the real corpus is not fetchable in this environment, so a clustered
+    # normalized synthetic stands in — stderr info only, not the headline)
+    try:
+        rng2 = np.random.default_rng(3)
+        centers = rng2.normal(size=(64, 100)).astype(np.float32)
+        ang = centers[rng2.integers(0, 64, size=20000)] + rng2.normal(
+            size=(20000, 100)
+        ).astype(np.float32) * 0.4
+        aq = centers[rng2.integers(0, 64, size=512)] + rng2.normal(
+            size=(512, 100)
+        ).astype(np.float32) * 0.4
+        aidx = ngt_tpu.create(None, dimension=100, distance_type="Cosine")
+        aidx.batch_insert(ang, build=True)
+        agt, _ = aidx.batch_linear_search(aq, size=10)
+        ids, dt = timed(
+            lambda: aidx.batch_search(aq, size=10, epsilon=0.05)
+        )
+        arec = recall_at_k(np.asarray(ids), np.asarray(agt), 10)
+        print(
+            f"# angular20k eps=0.05 recall@10={arec:.4f} qps={len(aq)/dt:.0f}",
+            file=sys.stderr,
+        )
+    except Exception as exc:  # pragma: no cover
+        print(f"# angular bench skipped: {exc}", file=sys.stderr)
+
     if best is None:
         qps, rec, eps = 0.0, 0.0, 0.0
     else:

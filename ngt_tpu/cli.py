@@ -141,7 +141,9 @@ def cmd_search(args):
                 stream.write(f"Query No.{query_count}\n")
                 stream.write("Rank\tID\tDistance\n")
             for rank, (oid, dist) in enumerate(results, 1):
-                stream.write(f"{rank}\t{oid + (0 if idx.zero_based else 0) + 1}\t{dist:g}\n")
+                # external ids are zero-based; CLI prints 1-based like the
+                # reference's text protocol (Command.cpp:347-350)
+                stream.write(f"{rank}\t{oid + 1}\t{dist:g}\n")
             if eval_mode:
                 stream.write("# End of Search\n")
             else:

@@ -35,7 +35,7 @@ from ngt_tpu.graph.search import graph_search
 from ngt_tpu.graph.storage import GraphStore
 from ngt_tpu.ops import distances as D
 from ngt_tpu.properties import DistanceType, GraphType, Property
-from ngt_tpu.seeds import Seeder
+from ngt_tpu.seeds import Seeder, default_reps
 from ngt_tpu.store import VectorStore
 
 INF = np.float32(np.inf)
@@ -257,7 +257,8 @@ class DeviceMirror:
 
 
 def _hash_bits_for(capacity: int) -> tuple[int, bool]:
-    bits = max(min(int(math.ceil(math.log2(max(capacity, 2)))), 17), 10)
+    # exact visited bitmap up to 2^20 ids (see index._wrap_hash_bits)
+    bits = max(min(int(math.ceil(math.log2(max(capacity, 2)))), 20), 10)
     return bits, capacity <= (1 << bits)
 
 
@@ -322,7 +323,7 @@ def build_bulk(
             live.astype(np.int64), int(prop.truncation_threshold)
         )
     live = np.nonzero(graph._has_node)[0].astype(np.int32)
-    seeder.refresh(live, store._x, num_reps=min(4096, len(live)))
+    seeder.refresh(live, store._x, num_reps=default_reps(len(live)))
     mirror.sync_full()
     return mirror
 
@@ -393,7 +394,7 @@ def build_anng(
 
     if seeder.num_reps == 0 and graph.node_count() > 0:
         live = np.nonzero(graph._has_node)[0].astype(np.int32)
-        seeder.refresh(live, store._x, num_reps=min(4096, len(live)))
+        seeder.refresh(live, store._x, num_reps=default_reps(len(live)))
 
     rep_rows = jnp.asarray(store._x[seeder.rep_ids])
     rep_sq = (
@@ -582,7 +583,7 @@ def build_anng(
 
         if graph.node_count() >= next_seed_refresh:
             live = np.nonzero(graph._has_node)[0].astype(np.int32)
-            seeder.refresh(live, store._x, num_reps=min(4096, len(live)))
+            seeder.refresh(live, store._x, num_reps=default_reps(len(live)))
             next_seed_refresh = 2 * graph.node_count()
             rep_rows = jnp.asarray(store._x[seeder.rep_ids])
             rep_sq = (
@@ -593,7 +594,7 @@ def build_anng(
             progress(off + bsz, len(pending))
 
     live = np.nonzero(graph._has_node)[0].astype(np.int32)
-    seeder.refresh(live, store._x, num_reps=min(4096, len(live)))
+    seeder.refresh(live, store._x, num_reps=default_reps(len(live)))
     return mirror
 
 

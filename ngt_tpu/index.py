@@ -35,7 +35,7 @@ from ngt_tpu.properties import (
     resolve_distance_type,
     resolve_object_type,
 )
-from ngt_tpu.seeds import Seeder
+from ngt_tpu.seeds import Seeder, default_reps
 from ngt_tpu.store import VectorStore
 
 FORMAT_VERSION = 1
@@ -200,7 +200,7 @@ class Index:
             q = jnp.concatenate([q, jnp.tile(q[:1], (bpad - b, 1))], axis=0)
         if self.seeder.num_reps == 0 and self.graph.node_count() > 0:
             live = np.nonzero(self.graph._has_node)[0].astype(np.int32)
-            self.seeder.refresh(live, self.store._x, min(4096, len(live)))
+            self.seeder.refresh(live, self.store._x, default_reps(len(live)))
         if edge_size in (-1, 0):
             e = min(self.prop.edge_size_for_search, self.graph.e_max)
         elif edge_size == -2:
@@ -480,21 +480,32 @@ class Index:
             else:
                 holes.append(i)
         if vecs:
-            mat = np.stack([v for _, v in vecs])
+            # ids must round-trip (line i <-> internal id i+1, like the
+            # reference's text import; Index.h:716-727): fill hole slots
+            # with a placeholder row, then remove them after the build
+            mat = np.zeros((len(vecs) + len(holes), len(vecs[0][1])),
+                           np.float32)
+            mat[:] = vecs[0][1]
+            for i, v in vecs:
+                mat[i] = v
             idx.store.batch_insert(mat)
-            for h in sorted(holes):
-                pass  # holes become free slots implicitly on rebuild
             idx.build_index()
+            for h in holes:
+                idx.remove(h if idx.zero_based else h + 1)
         if path:
             idx.save(path)
         return idx
 
 
 def _wrap_hash_bits(capacity: int, override: int) -> tuple[int, bool]:
+    """Visited-bitmap sizing: exact (identity-indexed) up to 2^20 ids —
+    hash collisions falsely mark candidates visited and cap recall (the
+    reference's HashBasedBooleanSet avoids this with an overflow set;
+    HashBasedBooleanSet.h:25-109). 2^20 bits = 128 KiB per query."""
     if override > 0:
         bits = override
     else:
-        bits = max(min(int(math.ceil(math.log2(max(capacity, 2)))), 17), 10)
+        bits = max(min(int(math.ceil(math.log2(max(capacity, 2)))), 20), 10)
     return bits, capacity <= (1 << bits)
 
 

@@ -41,7 +41,7 @@ INF = np.float32(np.inf)
 
 @functools.partial(jax.jit, static_argnames=("nprobe", "k", "m"))
 def _ivfpq_search(
-    centroids, list_ids, list_codes, list_valid, lut_flat, q_cent_d,
+    list_ids, list_codes, list_valid, lut_flat, q_cent_d,
     *, nprobe, k, m,
 ):
     """One fused IVF+PQ probe.
@@ -195,14 +195,17 @@ class IVFPQIndex:
         cd = D.pairwise(DistanceType.L2, qd, dev["centroids"])
         _, probe = jax.lax.top_k(-cd, nprobe)              # [B, P]
 
-        # per-probe residual LUTs: LUT of (q - centroid_p)
+        # per-probe residual LUTs: LUT of (q - centroid_p), all on device
+        # (the PQ was fit on residuals with center=False, so mean is zero)
+        from ngt_tpu.quant.pq import _lut
+
         cent_rows = jnp.take(dev["centroids"], probe, axis=0)  # [B, P, D]
-        qr = qd[:, None, :] - cent_rows                     # [B, P, D]
-        lut = self.pq.lut(np.asarray(qr.reshape(b * nprobe, -1)))
-        lut_flat = jnp.asarray(lut).reshape(b, nprobe, -1)
+        qr = (qd[:, None, :] - cent_rows).reshape(b * nprobe, -1)
+        lut = _lut(qr, jnp.asarray(self.pq.codebooks), self.pq.m)
+        lut_flat = lut.reshape(b, nprobe, -1)
 
         ids, dists = _ivfpq_search(
-            dev["centroids"], dev["list_ids"], dev["list_codes"],
+            dev["list_ids"], dev["list_codes"],
             dev["list_valid"], lut_flat, probe,
             nprobe=nprobe, k=min(k_exp, dev["list_ids"].shape[1] * nprobe),
             m=self.pq.m,

@@ -28,6 +28,7 @@ from ngt_tpu.graph.search import graph_search
 from ngt_tpu.ops import distances as D
 from ngt_tpu.quant.pq import ProductQuantizer, adc_gathered
 from ngt_tpu.properties import DistanceType
+from ngt_tpu.seeds import default_reps
 
 _F32 = jnp.float32
 
@@ -63,12 +64,16 @@ class QuantizedGraphIndex:
     ``ngtqg quantize``; NGTQG::Index::quantize, QuantizedGraph.h:456-475)."""
 
     def __init__(self, index, pq: ProductQuantizer | None, codes: np.ndarray,
-                 mode: str = "pq4", sq_scale: float = 1.0):
+                 mode: str = "pq4", sq_scale: float = 1.0,
+                 block_edges: int = 0):
         self.index = index
         self.pq = pq
         self.codes = codes  # [cap, M] uint8 (pq4) or [cap, D_pad] int8 (sq8)
         self.mode = mode
         self.sq_scale = float(sq_scale)
+        #: neighbors per block row (0 = all e_max edges).  Blocks cost
+        #: N*block_edges*M bytes of HBM; cap them for large indexes
+        self.block_edges = int(block_edges)
         self._codes_dev = None
 
     # ------------------------------------------------------------------
@@ -109,27 +114,41 @@ class QuantizedGraphIndex:
             self._codes_dev = jnp.asarray(self.codes)
         return self._codes_dev
 
+    def _effective_block_edges(self) -> int:
+        if self.block_edges > 0:
+            return min(self.block_edges, self.index.graph.e_max)
+        cap = self.index.store._x.shape[0]
+        eb = self.index.graph.e_max
+        # cap HBM: blocks cost cap*eb*M bytes; stay under ~2 GiB
+        m = self.codes.shape[1]
+        while cap * eb * m > (2 << 30) and eb > 16:
+            eb //= 2
+        return eb
+
     def _dev_blocks(self):
-        """Per-node neighbor code blocks [N, E*M] — the reference's
-        QuantizedNode stream (QuantizedGraph.h:64-115): one contiguous row
-        read per hop scores every neighbor (random per-neighbor gathers run
-        at ~1% of HBM bandwidth on TPU; contiguous block rows do not)."""
+        """Per-node neighbor code blocks [N, eb*M] + the matching adjacency
+        slice [N, eb] — the reference's QuantizedNode stream
+        (QuantizedGraph.h:64-115): one contiguous row read per hop scores
+        every neighbor (random per-neighbor gathers run at ~1% of HBM
+        bandwidth on TPU; contiguous block rows do not)."""
         codes = self._dev_codes()
         cap = codes.shape[0]
         mirror = self.index._ensure_mirror()
+        eb = self._effective_block_edges()
         if (
             getattr(self, "_blocks_dev", None) is not None
             and self._blocks_dev.shape[0] == cap
-            and getattr(self, "_blocks_for", None) is id(mirror.nbr)
+            and getattr(self, "_blocks_for", None) == (id(mirror.nbr), eb)
         ):
-            return self._blocks_dev
-        self._blocks_for = id(mirror.nbr)
-        nbr = mirror.nbr
+            return self._blocks_dev, self._nbr_eb
+        self._blocks_for = (id(mirror.nbr), eb)
+        nbr = mirror.nbr[:, :eb]
         safe = jnp.clip(nbr, 0, cap - 1)
-        blocks = jnp.take(codes, safe, axis=0)        # [N, E, M]
+        blocks = jnp.take(codes, safe, axis=0)        # [N, eb, M]
         blocks = blocks.reshape(cap, -1)
         self._blocks_dev = blocks
-        return blocks
+        self._nbr_eb = nbr
+        return blocks, nbr
 
     def batch_search(
         self,
@@ -166,21 +185,23 @@ class QuantizedGraphIndex:
 
         if idx.seeder.num_reps == 0 and idx.graph.node_count() > 0:
             live = np.nonzero(idx.graph._has_node)[0].astype(np.int32)
-            idx.seeder.refresh(live, idx.store._x, min(4096, len(live)))
+            idx.seeder.refresh(live, idx.store._x, default_reps(len(live)))
         seeds = idx.seeder.seeds_for(q, seed_size=idx.prop.seed_size)
 
         from ngt_tpu.index import _wrap_hash_bits
 
         bits, exact = _wrap_hash_bits(mirror.capacity,
                                       idx.prop.visited_bits_log2)
+        blocks, nbr_eb = self._dev_blocks()
+        eb = nbr_eb.shape[1]
         e = (
-            min(idx.prop.edge_size_for_search, idx.graph.e_max)
+            min(idx.prop.edge_size_for_search, eb)
             if edge_size in (-1, 0)
-            else min(int(edge_size), idx.graph.e_max)
+            else min(int(edge_size), eb)
         )
         res = graph_search(
-            self._dev_blocks(),
-            mirror.nbr,
+            blocks,
+            nbr_eb,
             mirror.valid,
             queries_dev,
             seeds,

@@ -22,6 +22,13 @@ from ngt_tpu.ops import distances as D
 from ngt_tpu.properties import DistanceType
 
 
+def default_reps(n_live: int) -> int:
+    """Representative count scaling: one matmul over reps replaces tree
+    descent, so reps are cheap — n/64 keeps cluster coverage high (with R
+    reps, a cluster of m members lacks a rep with prob ~exp(-R*m/n))."""
+    return int(min(max(1024, n_live // 64), 65536))
+
+
 class Seeder:
     """Holds representative object ids + their rows on device."""
 
