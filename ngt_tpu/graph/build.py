@@ -262,6 +262,63 @@ def _hash_bits_for(capacity: int) -> tuple[int, bool]:
     return bits, capacity <= (1 << bits)
 
 
+def ensure_connected(
+    store: VectorStore,
+    graph: GraphStore,
+    seeder: Seeder,
+    metric: DistanceType,
+    max_passes: int = 4,
+) -> int:
+    """Link disconnected components into the main graph.
+
+    An exact-KNN graph over clustered data can decompose into cliques with
+    no inter-cluster edges (the reference's incremental growth avoids this
+    implicitly because every insertion searches the CURRENT global graph).
+    Each pass: per secondary component take a pivot and link it
+    bidirectionally to its nearest representative holding a different
+    component label — one small matmul per pass.  Returns the final
+    component count."""
+    from ngt_tpu import native
+
+    n = store.repository_size
+    comps = 0
+    for _ in range(max_passes):
+        labels, comps = native.connected_components(
+            graph.nbr_ids[: max(n, 1)], graph._has_node[: max(n, 1)]
+        )
+        if comps <= 1:
+            break
+        live_labels = labels[labels >= 0]
+        main = np.bincount(live_labels).argmax()
+        # one pivot per secondary component
+        sec = np.unique(live_labels)
+        sec = sec[sec != main]
+        pivots = []
+        for lab in sec:
+            pivots.append(np.nonzero(labels == lab)[0][0])
+        pivots = np.asarray(pivots, np.int64)
+        reps = seeder.rep_ids
+        if len(reps) == 0:
+            break
+        rep_labels = labels[np.clip(reps, 0, n - 1)]
+        prow = jnp.asarray(store._x[pivots])
+        rrow = jnp.asarray(store._x[reps])
+        d = np.array(D.pairwise(metric, prow, rrow))
+        d[rep_labels[None, :] == labels[pivots][:, None]] = INF
+        d[:, rep_labels < 0] = INF
+        tgt_idx = np.argmin(d, axis=1)
+        td = d[np.arange(len(pivots)), tgt_idx]
+        okm = np.isfinite(td)
+        if not okm.any():
+            break
+        tgt = reps[tgt_idx[okm]].astype(np.int32)
+        piv = pivots[okm].astype(np.int32)
+        td = td[okm].astype(np.float32)
+        graph.add_edges(piv.astype(np.int64), tgt, td)
+        graph.add_edges(tgt.astype(np.int64), piv, td)
+    return comps
+
+
 def build_bulk(
     store: VectorStore,
     graph: GraphStore,
@@ -324,6 +381,8 @@ def build_bulk(
         )
     live = np.nonzero(graph._has_node)[0].astype(np.int32)
     seeder.refresh(live, store._x, num_reps=default_reps(len(live)))
+    if prop.graph_type != GraphType.KNNG:
+        ensure_connected(store, graph, seeder, metric)
     mirror.sync_full()
     return mirror
 

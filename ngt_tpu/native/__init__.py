@@ -46,6 +46,11 @@ def _load():
             ]
             lib.tsv_count_rows.restype = ctypes.c_long
             lib.tsv_count_rows.argtypes = [ctypes.c_char_p]
+            lib.connected_components.restype = ctypes.c_int64
+            lib.connected_components.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+            ]
             lib.merge_edges.restype = None
             lib.merge_edges.argtypes = [
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
@@ -89,6 +94,43 @@ def parse_tsv(path: str, dimension: int) -> np.ndarray:
     if got < 0:
         raise IOError(f"cannot read {path}")
     return out[:got]
+
+
+def connected_components(
+    nbr_ids: np.ndarray, has_node: np.ndarray
+) -> tuple[np.ndarray, int]:
+    """Component label (root id) per node, -1 for non-nodes; returns
+    (labels, n_components).  Numpy fallback: vectorized label propagation."""
+    n, e_max = nbr_ids.shape
+    lib = _load()
+    if lib is not None:
+        nbr_c = np.ascontiguousarray(nbr_ids, np.int32)
+        has_c = np.ascontiguousarray(has_node.view(np.uint8))
+        labels = np.empty(n, np.int32)
+        roots = lib.connected_components(
+            nbr_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            has_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            np.int64(n), np.int64(e_max),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return labels, int(roots)
+    # fallback: min-label propagation over the symmetrized edge list
+    labels = np.where(has_node, np.arange(n, dtype=np.int64), -1)
+    src = np.repeat(np.arange(n), e_max)
+    dst = nbr_ids.reshape(-1).astype(np.int64)
+    ok = (dst >= 0) & (dst < n)
+    ok &= has_node[src] & has_node[np.clip(dst, 0, n - 1)]
+    src, dst = src[ok], dst[ok]
+    a = np.concatenate([src, dst])
+    b = np.concatenate([dst, src])
+    for _ in range(10 * int(np.ceil(np.log2(max(n, 2)))) + 8):
+        new = labels.copy()
+        np.minimum.at(new, a, labels[b])
+        if (new == labels).all():
+            break
+        labels = new
+    live = labels[has_node]
+    return labels.astype(np.int32), int(len(np.unique(live)))
 
 
 def merge_edges(

@@ -255,3 +255,43 @@ def test_truncation_threshold(rng):
     assert idx.verify() == []
     res = idx.search(data[50], size=3, epsilon=0.2)
     assert res[0][0] == 50
+
+
+def test_bulk_build_connects_components(rng):
+    """Disconnected clone clusters must be linked by the connectivity pass
+    (ensure_connected): queries seeded far from a cluster still reach it."""
+    from ngt_tpu import native
+
+    # 40 tight clusters of 25 clones each — exact-KNN edges stay in-cluster
+    centers = rng.normal(size=(40, 16)).astype(np.float32) * 50
+    data = np.repeat(centers, 25, axis=0) + rng.normal(
+        size=(1000, 16)
+    ).astype(np.float32) * 0.01
+    idx = ngt_tpu.create(None, dimension=16, edge_size_for_creation=8)
+    idx.batch_insert(data, build=True)
+    n = idx.store.repository_size
+    labels, comps = native.connected_components(
+        idx.graph.nbr_ids[:n], idx.graph._has_node[:n]
+    )
+    assert comps == 1, f"{comps} components after bulk build"
+
+
+def test_connected_components_native_vs_numpy(rng):
+    from ngt_tpu import native
+    from ngt_tpu.graph.storage import GraphStore
+
+    g = GraphStore(max_edges=4, capacity=32)
+    # two chains: 0-1-2-3 and 10-11-12
+    g.set_nodes(np.array([0, 1, 2, 3]),
+                np.array([[1], [2], [3], [2]], np.int32),
+                np.ones((4, 1), np.float32))
+    g.set_nodes(np.array([10, 11, 12]),
+                np.array([[11], [12], [10]], np.int32),
+                np.ones((3, 1), np.float32))
+    labels, comps = native.connected_components(
+        g.nbr_ids[:16], g._has_node[:16]
+    )
+    assert comps == 2
+    assert labels[0] == labels[3] and labels[10] == labels[12]
+    assert labels[0] != labels[10]
+    assert labels[5] == -1  # non-node
