@@ -181,7 +181,10 @@ def adjust_paths(
     nbr_dev = jnp.asarray(graph.nbr_ids[:n])
     dist_dev = jnp.asarray(graph.nbr_dist[:n])
 
-    # phase 1: candidate detection, blocked over nodes, on device
+    # phase 1: candidate detection, blocked over nodes, on device.
+    # the detection tensor is [block, e, e, e] bools — cap the block so it
+    # stays under ~1 GiB at high degree
+    block = max(16, min(block, (1 << 30) // max(e * e * e, 1)))
     cand = np.zeros((n, e, e), bool)  # [u, v_rank, w_rank]
     for s in range(0, n, block):
         t = min(s + block, n)

@@ -130,7 +130,14 @@ def graph_search(
     w = max(width, k)
     s = seed_ids.shape[1]
     if max_iters <= 0:
-        max_iters = max(512, 4 * w + 32 * k)
+        # exploration length grows with graph size; a capped loop silently
+        # flattens the ε→recall curve (every ε returns the same truncated
+        # expansion), so scale the bound with log(n)
+        import math as _math
+
+        base = max(512, 4 * w + 32 * k)
+        scale = max(float(n_pad) / 65536.0, 1.0)
+        max_iters = int(base * (1.0 + _math.log2(scale) / 2.0))
     hash_words = (1 << hash_bits) // 32
 
     eps_coeff = 1.0 + jnp.asarray(epsilon, _F32)          # explorationCoefficient

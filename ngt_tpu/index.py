@@ -136,14 +136,17 @@ class Index:
     def insert_sparse(self, ids) -> int:
         return self.insert(self.make_sparse_object(ids))
 
-    def optimize_seeds(self, num_reps: int = 1024) -> None:
+    def optimize_seeds(self, num_reps: int = 0) -> None:
         """Upgrade seed representatives from a random sample to k-means
-        centroids' nearest members (tree-leaf-like locality)."""
+        centroids' nearest members (tree-leaf-like locality).  num_reps=0
+        scales with index size — shrinking the rep set below default_reps
+        collapses entry-point coverage at scale."""
         n = self.store.repository_size
         live = np.nonzero(
             self.store._valid[:n] & self.graph._has_node[:n]
         )[0].astype(np.int32)
-        self.seeder.finalize_kmeans(live, self.store._x, num_reps=num_reps)
+        reps = num_reps if num_reps > 0 else default_reps(len(live))
+        self.seeder.finalize_kmeans(live, self.store._x, num_reps=reps)
 
     def __len__(self) -> int:
         return len(self.store)

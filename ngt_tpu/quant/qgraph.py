@@ -118,12 +118,11 @@ class QuantizedGraphIndex:
         if self.block_edges > 0:
             return min(self.block_edges, self.index.graph.e_max)
         cap = self.index.store._x.shape[0]
-        eb = self.index.graph.e_max
-        # cap HBM: blocks cost cap*eb*M bytes; stay under ~2 GiB
         m = self.codes.shape[1]
-        while cap * eb * m > (2 << 30) and eb > 16:
-            eb //= 2
-        return eb
+        # blocks cost cap*eb*m bytes; target <= ~4 GiB but never fewer than
+        # 16 edges per hop (too-narrow blocks cripple traversal quality)
+        budget = (4 << 30) // max(cap * m, 1)
+        return int(min(self.index.graph.e_max, max(16, budget)))
 
     def _dev_blocks(self):
         """Per-node neighbor code blocks [N, eb*M] + the matching adjacency

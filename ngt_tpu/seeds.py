@@ -114,6 +114,12 @@ class Seeder:
         live_ids = np.asarray(live_ids)
         if len(live_ids) == 0:
             return
+        if num_reps > 4096:
+            # k-means at this k costs a [sample, k] one-hot matmul per
+            # iteration; coverage (rep count) matters more than centroid
+            # placement at scale — keep the uniform sample
+            self.refresh(live_ids, x_host, num_reps)
+            return
         pool = (
             live_ids
             if len(live_ids) <= sample
