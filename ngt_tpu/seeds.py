@@ -24,9 +24,10 @@ from ngt_tpu.properties import DistanceType
 
 def default_reps(n_live: int) -> int:
     """Representative count scaling: one matmul over reps replaces tree
-    descent, so reps are cheap — n/64 keeps cluster coverage high (with R
-    reps, a cluster of m members lacks a rep with prob ~exp(-R*m/n))."""
-    return int(min(max(1024, n_live // 64), 65536))
+    descent, so reps are cheap — n/32 keeps cluster coverage high (with R
+    reps, a cluster of m members lacks a rep with prob ~exp(-R*m/n); at
+    n/32 a 200-member cluster is uncovered with prob e^-6.25 ≈ 0.2%)."""
+    return int(min(max(1024, n_live // 32), 65536))
 
 
 class Seeder:
