@@ -52,3 +52,35 @@ def test_pad_dim():
     assert pad_dim(1) == 128
     assert pad_dim(128) == 128
     assert pad_dim(129) == 256
+
+
+def test_fast_knn_matches_exact(rng):
+    """bf16-scan + exact re-rank must return the exact top-k."""
+    import jax.numpy as jnp
+    from ngt_tpu.ops.bruteforce import fast_knn_l2, linear_search
+    from ngt_tpu.properties import DistanceType
+
+    x = (rng.normal(size=(3000, 128)) * 20 + 100).astype(np.float32)
+    q = x[rng.choice(3000, 32, replace=False)] + rng.normal(
+        size=(32, 128)
+    ).astype(np.float32)
+    valid = np.ones(3000, bool)
+    valid[5] = False
+    sqn = (x * x).sum(1).astype(np.float32)
+    fi, fd = fast_knn_l2(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid), jnp.asarray(sqn), 10
+    )
+    ei, ed = linear_search(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid), DistanceType.L2, 10
+    )
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(ei))
+    # distances: compare against f64 truth — the fast path's direct diff^2
+    # re-rank matches it to ~1e-7; linear_search's norm-trick matmul carries
+    # ~0.5% cancellation error (fine for ranking, not a distance oracle)
+    d64 = np.linalg.norm(
+        q[:, None, :].astype(np.float64) - x[None, :, :].astype(np.float64),
+        axis=-1,
+    )
+    d64[:, ~valid] = np.inf
+    want = np.take_along_axis(d64, np.asarray(fi).astype(np.int64), axis=1)
+    np.testing.assert_allclose(np.asarray(fd), want, rtol=1e-5)
