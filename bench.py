@@ -34,7 +34,10 @@ def main():
     # persistent compile cache: the search kernel compile (~20-60 s on the
     # tunneled TPU) amortizes across bench runs
     try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/ngt_tpu_jax"),  # shared with the CLI
+        )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
         pass
