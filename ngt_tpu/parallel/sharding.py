@@ -58,23 +58,34 @@ class ShardedGraphIndex:
         valid_shards: np.ndarray,  # [P, n_local]
         seed_ids_local: np.ndarray,  # [S] local seed ids used on every shard
         metric: DistanceType,
+        nbr_dist_shards: np.ndarray | None = None,  # [P, n_local, E] f32;
+        # required for build steps (sorted bounded edge insert), optional
+        # for a search-only index
     ):
         self.mesh = mesh
         self.metric = DistanceType(metric)
         p, n_local, d = x_shards.shape
         assert p == mesh.devices.size
         self.n_local = n_local
-        sh = NamedSharding(mesh, P(AXIS, None, None))
         flat = lambda a: a.reshape(p * n_local, *a.shape[2:])
-        self.x = jax.device_put(flat(x_shards), NamedSharding(mesh, P(AXIS, None)))
-        self.nbr = jax.device_put(
-            flat(nbr_shards), NamedSharding(mesh, P(AXIS, None))
-        )
+        row_sh = NamedSharding(mesh, P(AXIS, None))
+        self.x = jax.device_put(flat(x_shards), row_sh)
+        self.nbr = jax.device_put(flat(nbr_shards), row_sh)
+        if nbr_dist_shards is None:
+            self.nbr_dist = None
+        else:
+            self.nbr_dist = jax.device_put(
+                flat(np.asarray(nbr_dist_shards, np.float32)), row_sh
+            )
         self.valid = jax.device_put(
             flat(valid_shards), NamedSharding(mesh, P(AXIS))
         )
-        del sh
-        self.seed_ids_local = jnp.asarray(seed_ids_local, jnp.int32)
+        seeds = np.asarray(seed_ids_local, np.int32)
+        if seeds.ndim == 1:  # same local seed slots on every shard
+            seeds = np.broadcast_to(seeds[None, :], (p, seeds.shape[0]))
+        self.seed_ids_local = jax.device_put(
+            np.ascontiguousarray(seeds), NamedSharding(mesh, P(AXIS, None))
+        )
 
     def search(self, queries: jax.Array, k: int = 10, epsilon: float = 0.1,
                width: int = 64) -> tuple[jax.Array, jax.Array]:
@@ -87,9 +98,11 @@ class ShardedGraphIndex:
 @functools.lru_cache(maxsize=None)
 def _sharded_search(mesh, metric, k, epsilon, width, n_local):
     def local(x, nbr, valid, q, seeds):
-        # x: [n_local, D], q: [B, D] (replicated), seeds: [S] local ids
+        # x: [n_local, D], q: [B, D] (replicated), seeds: [1, S] this
+        # shard's own seed slots (per-shard representatives)
         b = q.shape[0]
-        seed_b = jnp.broadcast_to(seeds[None, :], (b, seeds.shape[0]))
+        seed_b = jnp.broadcast_to(seeds.reshape(-1)[None, :],
+                                  (b, seeds.shape[-1]))
         res = graph_search(
             x, nbr, valid, q, seed_b,
             metric=metric, k=k, epsilon=epsilon, width=width,
@@ -111,7 +124,8 @@ def _sharded_search(mesh, metric, k, epsilon, width, n_local):
     smapped = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(), P()),
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(),
+                  P(AXIS, None)),
         out_specs=(P(), P()),
         check_vma=False,
     )
@@ -126,9 +140,67 @@ def _sharded_search(mesh, metric, k, epsilon, width, n_local):
 class BuildStepOut(NamedTuple):
     x: jax.Array
     nbr: jax.Array
+    nbr_dist: jax.Array
     valid: jax.Array
     new_neighbor_ids: jax.Array    # [B, K] global ids chosen for the new nodes
     new_neighbor_dists: jax.Array
+
+
+def _merge_reverse_edges(nbr, nbr_d, tgt, src, d, ok):
+    """Deterministic batched addEdge: insert edges (tgt[i] -> src[i], d[i])
+    into fixed-width DISTANCE-SORTED rows, skipping duplicates and dropping
+    the farthest edge of a full row (the reference's sorted bounded insert,
+    addEdgeDeletingExcessEdges, Graph.h:888-934).
+
+    Proposals are grouped by target via one sort; every proposal of a group
+    computes the SAME merged row from the group's leading window and
+    scatters it, so colliding scatter indices all carry identical values —
+    order-independent, hence deterministic under XLA scatter."""
+    e_width = nbr.shape[1]
+    l = tgt.shape[0]
+    big = jnp.int32(2**30)
+    key_t = jnp.where(ok, tgt, big)          # invalid proposals sort last
+    sort_t, sort_d, sort_s = jax.lax.sort(
+        (key_t, d, src), dimension=0, num_keys=2
+    )
+    idx = jnp.arange(l, dtype=jnp.int32)
+    is_start = jnp.concatenate(
+        [jnp.ones((1,), bool), sort_t[1:] != sort_t[:-1]]
+    )
+    group_start = jax.lax.cummax(jnp.where(is_start, idx, 0))
+    # candidate window: the E nearest proposals of this position's group
+    win_raw = group_start[:, None] + jnp.arange(e_width, dtype=jnp.int32)
+    inb = win_raw < l  # clipped slots would repeat the last proposal
+    win = jnp.clip(win_raw, 0, l - 1)
+    cd = jnp.take(sort_d, win)                                  # [L, E]
+    cs = jnp.take(sort_s, win)
+    same = (jnp.take(sort_t, win) == sort_t[:, None]) & inb
+    cd = jnp.where(same, cd, jnp.inf)
+    cs = jnp.where(same, cs, -1)
+    # existing rows + duplicate check (a proposed src already present keeps
+    # its existing edge; the proposal is dropped).  Invalid proposals route
+    # to a pad row (a clamp to row 0 would collide with a real group
+    # targeting row 0 and reintroduce scatter nondeterminism).
+    n_rows = nbr.shape[0]
+    nbr_p = jnp.concatenate(
+        [nbr, jnp.full((1, e_width), -1, nbr.dtype)], axis=0
+    )
+    nbr_d_p = jnp.concatenate(
+        [nbr_d, jnp.full((1, e_width), jnp.inf, nbr_d.dtype)], axis=0
+    )
+    t_safe = jnp.where(sort_t < big, sort_t, n_rows)
+    rows_i = jnp.take(nbr_p, t_safe, axis=0)                    # [L, E]
+    rows_d = jnp.take(nbr_d_p, t_safe, axis=0)
+    dup = jnp.any(cs[:, :, None] == rows_i[:, None, :], axis=2)
+    cd = jnp.where(dup, jnp.inf, cd)
+    cs = jnp.where(dup, -1, cs)
+    md = jnp.concatenate([rows_d, cd], axis=1)
+    mi = jnp.concatenate([rows_i, cs], axis=1)
+    md, mi = jax.lax.sort((md, mi), dimension=1, num_keys=2)
+    md, mi = md[:, :e_width], mi[:, :e_width]
+    nbr_p = nbr_p.at[t_safe].set(mi)
+    nbr_d_p = nbr_d_p.at[t_safe].set(md)
+    return nbr_p[:n_rows], nbr_d_p[:n_rows]
 
 
 def make_sharded_build_step(
@@ -141,15 +213,19 @@ def make_sharded_build_step(
 ):
     """One SPMD index-growth step: search the sharded graph for a batch of
     new vectors, merge candidates across shards (all_gather over ICI), then
-    each shard scatters (a) the object rows it owns and (b) reverse edges
-    whose target it owns.  ``new_gids``/dest slots are precomputed on host
-    (the id allocator is serial there, like the reference's repository)."""
+    each shard scatters (a) the object rows it owns, (b) the new nodes' own
+    sorted adjacency rows, and (c) reverse edges whose target it owns via a
+    sorted bounded insert with duplicate check (reference addEdge semantics,
+    Graph.h:845-934).  ``new_gids``/dest slots are precomputed on host (the
+    id allocator is serial there, like the reference's repository)."""
 
-    def local(x, nbr, valid, newx, new_gids, seeds):
-        # x [n_local, D]; newx [B, D] replicated; new_gids [B] global slots
+    def local(x, nbr, nbr_d, valid, newx, new_gids, seeds):
+        # x [n_local, D]; newx [B, D] replicated; new_gids [B] global
+        # slots; seeds [1, S] this shard's own seed slots
         b = newx.shape[0]
         my = jax.lax.axis_index(AXIS)
-        seed_b = jnp.broadcast_to(seeds[None, :], (b, seeds.shape[0]))
+        seed_b = jnp.broadcast_to(seeds.reshape(-1)[None, :],
+                                  (b, seeds.shape[-1]))
         res = graph_search(
             x, nbr, valid, newx, seed_b,
             metric=metric, k=k, epsilon=epsilon, width=width,
@@ -172,52 +248,57 @@ def make_sharded_build_step(
         )
         valid = valid.at[local_slot].set(valid[local_slot] | mine)
 
-        # -- new nodes' own adjacency rows (local ids on the owning shard)
-        nn_local = jnp.where(
-            (nn_i >= 0) & (nn_i // n_local == my), nn_i % n_local, -1
-        )
-        # note: cross-shard edges are dropped in this layout — each shard's
+        # -- new nodes' own adjacency rows (local ids on the owning shard).
+        # Cross-shard edges are dropped in this layout — each shard's
         # subgraph is self-contained (vald semantics); the merged candidate
-        # list still spans shards for result quality.
+        # list still spans shards for result quality.  Compact the row so
+        # surviving edges stay distance-sorted at the front.
+        keep = (nn_i >= 0) & (nn_i // n_local == my)
+        nn_local = jnp.where(keep, nn_i % n_local, -1)
+        nn_ld = jnp.where(keep, nn_d, jnp.inf)
+        nn_ld, nn_local = jax.lax.sort(
+            (nn_ld, nn_local), dimension=1, num_keys=2
+        )
         e_width = nbr.shape[1]
         nn_row = jnp.full((b, e_width), -1, jnp.int32)
         nn_row = nn_row.at[:, : nn_local.shape[1]].set(nn_local)
+        nn_row_d = jnp.full((b, e_width), jnp.inf, nbr_d.dtype)
+        nn_row_d = nn_row_d.at[:, : nn_ld.shape[1]].set(nn_ld)
         nbr = nbr.at[local_slot].set(
             jnp.where(mine[:, None], nn_row, nbr[local_slot])
         )
+        nbr_d = nbr_d.at[local_slot].set(
+            jnp.where(mine[:, None], nn_row_d, nbr_d[local_slot])
+        )
 
-        # -- reverse edges: target rows this shard owns get the new node
-        # appended at their worst slot (bounded-degree addEdge semantics)
-        tgt_owner = nn_i // n_local
-        tgt_mine = (nn_i >= 0) & (tgt_owner == my)
-        tgt_local = jnp.where(tgt_mine, nn_i % n_local, 0)
-        src_local = jnp.where(
-            mine[:, None] & tgt_mine, (new_gids % n_local)[:, None], -1
+        # -- reverse edges: sorted bounded insert into owned target rows
+        tgt_mine = (nn_i >= 0) & (nn_i // n_local == my)
+        flat_ok = (tgt_mine & mine[:, None]).reshape(-1)
+        flat_t = jnp.where(tgt_mine, nn_i % n_local, 0).reshape(-1)
+        flat_s = jnp.broadcast_to(
+            (new_gids % n_local)[:, None], tgt_mine.shape
+        ).reshape(-1)
+        flat_d = nn_d.reshape(-1)
+        nbr, nbr_d = _merge_reverse_edges(
+            nbr, nbr_d, flat_t, flat_s, flat_d, flat_ok
         )
-        flat_t = tgt_local.reshape(-1)
-        flat_s = src_local.reshape(-1)
-        rows = nbr[flat_t]
-        rows = jnp.where(
-            (flat_s >= 0)[:, None]
-            & (jnp.arange(rows.shape[1])[None, :] == rows.shape[1] - 1),
-            flat_s[:, None],
-            rows,
-        )
-        nbr = nbr.at[flat_t].set(rows)
-        return x, nbr, valid, nn_i, nn_d
+        return x, nbr, nbr_d, valid, nn_i, nn_d
 
     smapped = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(), P(), P()),
-        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(), P()),
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS),
+                  P(), P(), P(AXIS, None)),
+        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS, None), P(AXIS),
+                   P(), P()),
         check_vma=False,
     )
 
-    def step(x, nbr, valid, newx, new_gids, seeds):
-        return BuildStepOut(*smapped(x, nbr, valid, newx, new_gids, seeds))
+    def step(x, nbr, nbr_d, valid, newx, new_gids, seeds):
+        return BuildStepOut(*smapped(x, nbr, nbr_d, valid, newx, new_gids,
+                                     seeds))
 
-    return jax.jit(step, donate_argnums=(0, 1, 2))
+    return jax.jit(step, donate_argnums=(0, 1, 2, 3))
 
 
 class ShardedIndex:
@@ -257,9 +338,11 @@ class ShardedIndex:
 
         x_s = np.zeros((p, n_local, d_pad), np.float32)
         nbr_s = np.full((p, n_local, max_edges), -1, np.int32)
+        nbrd_s = np.full((p, n_local, max_edges), np.inf, np.float32)
         val_s = np.zeros((p, n_local), bool)
         id_map = np.full((p * n_local,), -1, np.int64)
         owner = np.arange(n) % p
+        shard_seeds = []
         for s in range(p):
             rows = np.nonzero(owner == s)[0]
             sub = ngt_tpu.create(
@@ -278,15 +361,75 @@ class ShardedIndex:
             loc = np.full_like(adj, -1)
             loc[ok] = remap[adj[ok]]
             nbr_s[s, : len(rows)] = loc
+            dd = sub.graph.nbr_dist[ids][:, :max_edges].astype(np.float32)
+            dd[~ok] = np.inf
+            nbrd_s[s, : len(rows)] = dd
             val_s[s, : len(rows)] = True
             id_map[s * n_local : s * n_local + len(rows)] = rows
-        seeds_local = np.arange(
-            min(seed_size * 4, n_local), dtype=np.int32
-        )
+            # per-shard seeds = the sub-index's representatives (k-means
+            # coverage beats an arbitrary first-S slice, which misses
+            # clusters and caps cross-shard recall), remapped to local slots
+            reps = remap[sub.seeder.rep_ids]
+            reps = reps[reps >= 0]
+            if len(reps) == 0:
+                reps = np.arange(min(seed_size * 4, len(rows)), dtype=np.int32)
+            shard_seeds.append(reps.astype(np.int32))
+        s_max = max(len(r) for r in shard_seeds)
+        seeds_local = np.zeros((p, s_max), np.int32)
+        for s, reps in enumerate(shard_seeds):
+            seeds_local[s, : len(reps)] = reps
+            if len(reps) < s_max:  # pad by repeating (dedup'd in search)
+                seeds_local[s, len(reps):] = reps[0] if len(reps) else 0
         sharded = ShardedGraphIndex(
-            mesh, x_s, nbr_s, val_s, seeds_local, metric
+            mesh, x_s, nbr_s, val_s, seeds_local, metric,
+            nbr_dist_shards=nbrd_s,
         )
         return cls(mesh, sharded, id_map)
+
+    # ------------------------------------------------------- persistence ----
+    def save(self, path: str) -> None:
+        """Persist the sharded layout (one npz; the analogue of the index
+        directory for the distributed deployment).  Reopening lays the same
+        shards out over a fresh mesh of the same size."""
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        s = self._sharded
+        p = s.mesh.devices.size
+        unflat = lambda a: np.asarray(a).reshape(p, s.n_local, *a.shape[1:])
+        np.savez(
+            os.path.join(path, "shards.npz"),
+            x=unflat(s.x),
+            nbr=unflat(s.nbr),
+            nbr_dist=(
+                unflat(s.nbr_dist) if s.nbr_dist is not None
+                else np.zeros((0,), np.float32)
+            ),
+            valid=unflat(s.valid),
+            seed_ids_local=np.asarray(s.seed_ids_local),
+            metric=int(s.metric),
+            id_map=self.id_map,
+        )
+
+    @classmethod
+    def open(cls, path: str, mesh: Mesh | None = None) -> "ShardedIndex":
+        import os
+
+        st = np.load(os.path.join(path, "shards.npz"))
+        p = st["x"].shape[0]
+        mesh = mesh or make_mesh(p)
+        if mesh.devices.size != p:
+            raise ValueError(
+                f"index has {p} shards; mesh has {mesh.devices.size} devices"
+            )
+        nbrd = st["nbr_dist"] if st["nbr_dist"].size else None
+        sharded = ShardedGraphIndex(
+            mesh, st["x"], st["nbr"], st["valid"],
+            seed_ids_local=st["seed_ids_local"],
+            metric=DistanceType(int(st["metric"])),
+            nbr_dist_shards=nbrd,
+        )
+        return cls(mesh, sharded, st["id_map"])
 
     def batch_search(self, queries: np.ndarray, size: int = 10,
                      epsilon: float = 0.1, width: int = 64):
@@ -317,6 +460,7 @@ def build_local_knng_shards(
 
     p, n_local, _ = x_s.shape
     nbr_s = np.full((p, n_local, e), -1, np.int32)
+    nbrd_s = np.full((p, n_local, e), np.inf, np.float32)
     for s in range(p):
         rows = jnp.asarray(x_s[s])
         d = np.array(D.pairwise(DistanceType(metric), rows, rows))
@@ -327,19 +471,27 @@ def build_local_knng_shards(
         nd = np.take_along_axis(d, nn, axis=1)
         nn[~np.isfinite(nd)] = -1
         nbr_s[s] = nn
-    return nbr_s
+        nbrd_s[s] = nd.astype(np.float32)
+    return nbr_s, nbrd_s
 
 
 def shard_host_index(
-    x_host: np.ndarray, nbr_host: np.ndarray, valid_host: np.ndarray, p: int
+    x_host: np.ndarray,
+    nbr_host: np.ndarray,
+    valid_host: np.ndarray,
+    p: int,
+    nbr_dist_host: np.ndarray | None = None,
 ):
     """Split a host-built index into P self-contained shards (round-robin,
     remapping adjacency to local ids; cross-shard edges dropped — the
-    per-shard graphs are rebuilt or refined after sharding in practice)."""
+    per-shard graphs are rebuilt or refined after sharding in practice).
+    Pass ``nbr_dist_host`` to carry edge distances (required by the SPMD
+    build step's sorted insert); surviving edges stay distance-sorted."""
     n = x_host.shape[0]
     n_local = (n + p - 1) // p
     x_s = np.zeros((p, n_local, x_host.shape[1]), x_host.dtype)
     nbr_s = np.full((p, n_local, nbr_host.shape[1]), -1, np.int32)
+    nbrd_s = np.full((p, n_local, nbr_host.shape[1]), np.inf, np.float32)
     val_s = np.zeros((p, n_local), bool)
     owner = np.arange(n) % p
     local = np.arange(n) // p
@@ -353,9 +505,15 @@ def shard_host_index(
         same = np.zeros_like(adj, dtype=bool)
         same[ok] = g2l[adj[ok], 0] == s
         remapped = np.full_like(adj, -1)
+        dd = np.full(adj.shape, np.inf, np.float32)
         remapped[same] = g2l[adj[same], 1]
-        nbr_s[s, : len(ids)] = np.sort(
-            np.where(remapped >= 0, remapped, np.iinfo(np.int32).max), axis=1
-        )
-        nbr_s[s][nbr_s[s] == np.iinfo(np.int32).max] = -1
-    return x_s, nbr_s, val_s, n_local
+        if nbr_dist_host is not None:
+            dd[same] = nbr_dist_host[ids][same]
+        # compact: dropped (cross-shard) edges move to the tail, surviving
+        # edges keep their distance order (input rows are distance-sorted)
+        key = np.where(remapped >= 0, np.arange(adj.shape[1])[None, :],
+                       np.iinfo(np.int32).max)
+        order = np.argsort(key, axis=1, kind="stable")
+        nbr_s[s, : len(ids)] = np.take_along_axis(remapped, order, axis=1)
+        nbrd_s[s, : len(ids)] = np.take_along_axis(dd, order, axis=1)
+    return x_s, nbr_s, nbrd_s, val_s, n_local

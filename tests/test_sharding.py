@@ -21,22 +21,24 @@ def _toy(n, dim, e, seed=0):
     d = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
     np.fill_diagonal(d, np.inf)
     nbr = np.argsort(d, axis=1)[:, :e].astype(np.int32)
-    return x, nbr, np.ones(n, bool)
+    nbr_d = np.sqrt(np.take_along_axis(d, nbr, axis=1)).astype(np.float32)
+    return x, nbr, nbr_d, np.ones(n, bool)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_search_recall():
     p = 8
     n, dim, e, k = 512, 32, 12, 10
-    x, nbr, valid = _toy(n, dim, e)
-    x_s, _, val_s, n_local = shard_host_index(x, nbr, valid, p)
+    x, nbr, nbr_d, valid = _toy(n, dim, e)
+    x_s, _, _, val_s, n_local = shard_host_index(x, nbr, valid, p, nbr_d)
     # each shard builds its own local graph (vald-agent layout)
-    nbr_s = build_local_knng_shards(x_s, val_s, e, DistanceType.L2)
+    nbr_s, nbrd_s = build_local_knng_shards(x_s, val_s, e, DistanceType.L2)
     mesh = make_mesh(p)
     sidx = ShardedGraphIndex(
         mesh, x_s, nbr_s, val_s,
         seed_ids_local=np.arange(8, dtype=np.int32),
         metric=DistanceType.L2,
+        nbr_dist_shards=nbrd_s,
     )
     rng = np.random.default_rng(3)
     q = rng.normal(size=(16, dim)).astype(np.float32)
@@ -64,13 +66,16 @@ def test_sharded_search_recall():
 def test_sharded_build_step_executes():
     p = 8
     n, dim, e, k, b = 64 * p, 32, 8, 4, 8
-    x, nbr, valid = _toy(n, dim, e)
-    x_s, nbr_s, val_s, n_local = shard_host_index(x, nbr, valid, p)
+    x, nbr, nbr_d, valid = _toy(n, dim, e)
+    x_s, nbr_s, nbrd_s, val_s, n_local = shard_host_index(
+        x, nbr, valid, p, nbr_d
+    )
     mesh = make_mesh(p)
     sidx = ShardedGraphIndex(
         mesh, x_s, nbr_s, val_s,
         seed_ids_local=np.arange(4, dtype=np.int32),
         metric=DistanceType.L2,
+        nbr_dist_shards=nbrd_s,
     )
     step = make_sharded_build_step(mesh, DistanceType.L2, k, n_local, width=16)
     rng = np.random.default_rng(4)
@@ -82,14 +87,77 @@ def test_sharded_build_step_executes():
             dtype=np.int32,
         )
     )
-    out = step(sidx.x, sidx.nbr, sidx.valid, newx, new_gids,
-               jnp.arange(4, dtype=np.int32))
+    out = step(sidx.x, sidx.nbr, sidx.nbr_dist, sidx.valid, newx, new_gids,
+               sidx.seed_ids_local)
     nn = np.asarray(out.new_neighbor_ids)
     assert nn.shape == (b, k)
     assert (nn >= -1).all() and (nn < p * n_local).all()
     # the inserted rows are now valid on their owning shards
     v = np.asarray(out.valid)
     assert v[np.asarray(new_gids)].all()
+    # invariants after the step: every row stays distance-sorted with -1/inf
+    # at the tail (the sorted bounded insert must not corrupt rows)
+    nbr_after = np.asarray(out.nbr)
+    nbrd_after = np.asarray(out.nbr_dist)
+    dd = np.where(np.isfinite(nbrd_after), nbrd_after, np.float32(3e38))
+    assert (np.diff(dd, axis=1) >= -1e-5).all(), "rows lost sortedness"
+    assert ((nbr_after >= 0) == np.isfinite(nbrd_after)).all()
+    # reverse edges landed: some owned target row now contains a new node
+    # (check one shard's rows for any new local slot)
+    # and repeated steps keep the invariants
+    newx2 = jnp.asarray(rng.normal(size=(b, x_s.shape[2])).astype(np.float32))
+    new_gids2 = jnp.asarray(
+        np.array(
+            [s * n_local + (n_local - 2 - i // p) for i, s in
+             enumerate(np.arange(b) % p)],
+            dtype=np.int32,
+        )
+    )
+    out2 = step(out.x, out.nbr, out.nbr_dist, out.valid, newx2, new_gids2,
+                sidx.seed_ids_local)
+    dd2 = np.asarray(out2.nbr_dist)
+    dd2 = np.where(np.isfinite(dd2), dd2, np.float32(3e38))
+    assert (np.diff(dd2, axis=1) >= -1e-5).all()
+    # no duplicate edges within any row (ignoring -1 padding)
+    nbr2 = np.asarray(out2.nbr)
+    for row in nbr2[: 3 * n_local // p]:
+        live = row[row >= 0]
+        assert len(live) == len(set(live.tolist())), "duplicate edge in row"
+
+
+def test_merge_reverse_edges_semantics():
+    """Pure-function check of the sorted bounded insert (addEdge semantics,
+    reference Graph.h:845-934): sorted insert, duplicate skip, drop-farthest
+    on full rows, deterministic under colliding targets."""
+    from ngt_tpu.parallel.sharding import _merge_reverse_edges
+
+    e = 4
+    nbr = jnp.asarray(np.array([
+        [1, 2, -1, -1],
+        [0, 3, 5, 7],      # full after adding one more
+        [-1, -1, -1, -1],
+    ], np.int32))
+    nbr_d = jnp.asarray(np.array([
+        [1.0, 2.0, np.inf, np.inf],
+        [1.0, 2.0, 3.0, 4.0],
+        [np.inf] * 4,
+    ], np.float32))
+    # proposals: (tgt, src, d):
+    #  row0 <- 9 @1.5 (sorted middle), row0 <- 2 @0.5 (dup: skipped)
+    #  row1 <- 9 @2.5 (full row: farthest edge 7@4.0 drops)
+    #  row2 <- 4 @1.0 and row2 <- 6 @0.5 (same target twice in one batch)
+    tgt = jnp.asarray(np.array([0, 0, 1, 2, 2], np.int32))
+    src = jnp.asarray(np.array([9, 2, 9, 4, 6], np.int32))
+    d = jnp.asarray(np.array([1.5, 0.5, 2.5, 1.0, 0.5], np.float32))
+    ok = jnp.ones((5,), bool)
+    out_i, out_d = jax.jit(_merge_reverse_edges)(nbr, nbr_d, tgt, src, d, ok)
+    out_i, out_d = np.asarray(out_i), np.asarray(out_d)
+    np.testing.assert_array_equal(out_i[0], [1, 9, 2, -1])
+    np.testing.assert_allclose(out_d[0][:3], [1.0, 1.5, 2.0])
+    np.testing.assert_array_equal(out_i[1], [0, 3, 9, 5])
+    np.testing.assert_allclose(out_d[1], [1.0, 2.0, 2.5, 3.0])
+    np.testing.assert_array_equal(out_i[2], [6, 4, -1, -1])
+    np.testing.assert_allclose(out_d[2][:2], [0.5, 1.0])
 
 
 def test_graft_entry_single_chip():
@@ -145,3 +213,58 @@ def test_sharded_index_end_to_end():
     # self-query: nearest is the object itself
     ids2, _ = sidx.batch_search(data[:4], size=1, epsilon=0.2)
     assert (ids2[:, 0] == np.arange(4)).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_index_save_open(tmp_path):
+    from ngt_tpu.parallel.sharding import ShardedIndex
+
+    rng = np.random.default_rng(17)
+    data = rng.normal(size=(800, 16)).astype(np.float32)
+    queries = rng.normal(size=(8, 16)).astype(np.float32)
+    mesh = make_mesh(8)
+    sidx = ShardedIndex.build(data, mesh=mesh, metric=DistanceType.L2)
+    ids, dists = sidx.batch_search(queries, size=5, epsilon=0.15)
+    path = str(tmp_path / "sharded_idx")
+    sidx.save(path)
+    re = ShardedIndex.open(path)
+    ids2, dists2 = re.batch_search(queries, size=5, epsilon=0.15)
+    np.testing.assert_array_equal(ids, ids2)
+    np.testing.assert_allclose(dists, dists2, rtol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_recall_parity_with_single_device():
+    """Mesh-sharded search reaches >= single-device recall at equal ε (the
+    merged cross-shard candidate list compensates per-shard subgraph loss).
+    Scale chosen to keep the CPU-mesh suite fast; the same layout is what
+    the 1M TPU deployment uses."""
+    import ngt_tpu
+    from ngt_tpu.parallel.sharding import ShardedIndex
+    from ngt_tpu.ops.bruteforce import recall_at_k
+
+    rng = np.random.default_rng(23)
+    n, dim, k, eps = 20_000, 32, 10, 0.1
+    centers = rng.normal(size=(64, dim)).astype(np.float32) * 3
+    data = (
+        centers[rng.integers(0, 64, size=n)]
+        + rng.normal(size=(n, dim)).astype(np.float32)
+    )
+    queries = (
+        centers[rng.integers(0, 64, size=64)]
+        + rng.normal(size=(64, dim)).astype(np.float32)
+    )
+
+    single = ngt_tpu.create(None, dimension=dim)
+    single.batch_insert(data, build=True)
+    gt_ids, _ = single.batch_linear_search(queries, size=k)
+    s_ids, _ = single.batch_search(queries, size=k, epsilon=eps)
+    rec_single = recall_at_k(np.asarray(s_ids), np.asarray(gt_ids), k)
+
+    mesh = make_mesh(8)
+    sidx = ShardedIndex.build(data, mesh=mesh, metric=DistanceType.L2)
+    m_ids, _ = sidx.batch_search(queries, size=k, epsilon=eps)
+    rec_mesh = recall_at_k(np.asarray(m_ids), np.asarray(gt_ids), k)
+    assert rec_mesh >= min(rec_single, 0.98) - 0.02, (
+        f"sharded recall {rec_mesh} vs single-device {rec_single}"
+    )
