@@ -419,6 +419,120 @@ def cmd_qsearch(args):
     return 0
 
 
+# --------------------------------------------------------------- ngtq -----
+# the reference's separate `ngtq` binary (NGTQ/NGTQCommand.h:574-613:
+# create/append/search/remove/info/validate/rebuild/compress) becomes the
+# ngtq-* subcommand family; search modes map to the aggregation modes
+# (NGTQCommand.h:299-312)
+
+
+def cmd_ngtq_create(args):
+    from ngt_tpu.quant.ivfpq import IVFPQIndex
+
+    ivf = IVFPQIndex(
+        args.dimension,
+        n_centroids=args.centroids,
+        dsub=args.dimension_of_subvector,
+        ksub=args.local_centroids,
+        metric=resolve_distance_type(args.distance_type),
+        raw_store=args.raw_store,
+        raw_path=(
+            os.path.join(args.index, "raw.f32")
+            if args.raw_store == "mmap" else None
+        ),
+    )
+    if args.data:
+        t0 = time.time()
+        data = _load_tsv(args.data, args.dimension)
+        print(f"Data loading time={time.time() - t0:.6f} (sec)",
+              file=sys.stderr)
+        t0 = time.time()
+        ivf.batch_insert(data)
+        os.makedirs(args.index, exist_ok=True)
+        ivf.build()
+        print(f"Index creation time={time.time() - t0:.6f} (sec)",
+              file=sys.stderr)
+    os.makedirs(args.index, exist_ok=True)
+    ivf.save(args.index)
+    return 0
+
+
+def cmd_ngtq_append(args):
+    from ngt_tpu.quant.ivfpq import IVFPQIndex
+
+    ivf = IVFPQIndex.open(args.index)
+    data = _load_tsv(args.data, ivf.dimension)
+    ivf.batch_insert(data)
+    if ivf.needs_rebuild():
+        print("# index grew past its codebooks; run ngtq-rebuild",
+              file=sys.stderr)
+    ivf.save(args.index)
+    return 0
+
+
+def cmd_ngtq_search(args):
+    from ngt_tpu.quant.ivfpq import IVFPQIndex
+
+    ivf = IVFPQIndex.open(args.index)
+    queries = _load_tsv(args.query, ivf.dimension)
+    for qi, q in enumerate(queries, 1):
+        t0 = time.time()
+        results = ivf.search(
+            q, size=args.size, nprobe=args.nprobe,
+            result_expansion=args.result_expansion, mode=args.mode,
+        )
+        dt = time.time() - t0
+        print(f"Query No.{qi}")
+        print("Rank\tID\tDistance")
+        for rank, (oid, dist) in enumerate(results, 1):
+            print(f"{rank}\t{oid + 1}\t{dist:g}")
+        print(f"Query Time= {dt:g} (sec), {dt * 1000.0:g} (msec)")
+    return 0
+
+
+def cmd_ngtq_info(args):
+    from ngt_tpu.quant.ivfpq import IVFPQIndex
+
+    ivf = IVFPQIndex.open(args.index)
+    print(f"objects\t{ivf.size}")
+    print(f"centroids\t{len(ivf.centroids)}")
+    print(f"subvectors\t{ivf.pq.m}")
+    print(f"local centroids\t{ivf.pq.ksub}")
+    print(f"packed\t{ivf.packed}")
+    print(f"needs rebuild\t{ivf.needs_rebuild()}")
+    for k, v in ivf.memory_report().items():
+        print(f"{k}\t{v}")
+    return 0
+
+
+def cmd_ngtq_validate(args):
+    from ngt_tpu.quant.ivfpq import IVFPQIndex
+
+    ivf = IVFPQIndex.open(args.index)
+    errs = ivf.verify()
+    for e in errs:
+        print(f"error: {e}")
+    try:
+        audit = ivf.quantization_error(sample=args.sample)
+        for k, v in audit.items():
+            print(f"{k}\t{v:g}")
+    except ValueError as exc:
+        print(f"# audit skipped: {exc}", file=sys.stderr)
+    print("valid" if not errs else "INVALID")
+    return 0 if not errs else 1
+
+
+def cmd_ngtq_rebuild(args):
+    from ngt_tpu.quant.ivfpq import IVFPQIndex
+
+    ivf = IVFPQIndex.open(args.index)
+    t0 = time.time()
+    ivf.rebuild()
+    print(f"Rebuild time={time.time() - t0:.6f} (sec)", file=sys.stderr)
+    ivf.save(args.index)
+    return 0
+
+
 # ------------------------------------------------------------- dispatch ----
 
 
@@ -556,6 +670,54 @@ def build_parser() -> argparse.ArgumentParser:
     qs.add_argument("index")
     qs.add_argument("query")
     qs.set_defaults(fn=cmd_qsearch)
+
+    nqc = sub.add_parser("ngtq-create",
+                         help="create an NGTQ (IVF+PQ) index")
+    nqc.add_argument("-d", "--dimension", type=int, required=True)
+    nqc.add_argument("-D", "--distance-type", default="L2")
+    nqc.add_argument("-C", "--centroids", type=int, default=256,
+                     help="global codebook size")
+    nqc.add_argument("-Q", "--dimension-of-subvector", type=int, default=2)
+    nqc.add_argument("-c", "--local-centroids", type=int, default=16)
+    nqc.add_argument("--raw-store", default="device",
+                     choices=("device", "host", "mmap", "none"),
+                     help="where raw objects live (mmap = ArrayFile-style "
+                          "off-heap file)")
+    nqc.add_argument("index")
+    nqc.add_argument("data", nargs="?")
+    nqc.set_defaults(fn=cmd_ngtq_create)
+
+    nqa = sub.add_parser("ngtq-append",
+                         help="incremental insert (no codebook retrain)")
+    nqa.add_argument("index")
+    nqa.add_argument("data")
+    nqa.set_defaults(fn=cmd_ngtq_append)
+
+    nqs = sub.add_parser("ngtq-search", help="IVF+PQ search")
+    nqs.add_argument("-n", "--size", type=int, default=20)
+    nqs.add_argument("-p", "--nprobe", type=int, default=8)
+    nqs.add_argument("-b", "--result-expansion", type=float, default=3.0)
+    nqs.add_argument("-m", "--mode", default="refine",
+                     help="a/l/c=approx-LUT, r=refine (default), e=exact "
+                          "(reference aggregation modes)")
+    nqs.add_argument("index")
+    nqs.add_argument("query")
+    nqs.set_defaults(fn=cmd_ngtq_search)
+
+    nqi = sub.add_parser("ngtq-info", help="NGTQ index info + memory report")
+    nqi.add_argument("index")
+    nqi.set_defaults(fn=cmd_ngtq_info)
+
+    nqv = sub.add_parser("ngtq-validate",
+                         help="consistency + quantization-error audit")
+    nqv.add_argument("-s", "--sample", type=int, default=1024)
+    nqv.add_argument("index")
+    nqv.set_defaults(fn=cmd_ngtq_validate)
+
+    nqr = sub.add_parser("ngtq-rebuild",
+                         help="retrain codebooks + re-encode (at capacity)")
+    nqr.add_argument("index")
+    nqr.set_defaults(fn=cmd_ngtq_rebuild)
 
     return p
 

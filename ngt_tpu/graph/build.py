@@ -192,6 +192,8 @@ class DeviceMirror:
     """Device copies of the object matrix + adjacency, updated by row
     scatter with buffer donation (no full re-upload per batch)."""
 
+    _version_seed = 0
+
     def __init__(self, store: VectorStore, graph: GraphStore):
         self.store = store
         self.graph = graph
@@ -200,6 +202,13 @@ class DeviceMirror:
         self.sqnorm = None
         self.nbr = None
         self.capacity = 0
+        #: bumped on every device-array replacement; derived caches (e.g.
+        #: the quantized-graph neighbor blocks) key on this instead of
+        #: id(self.nbr), which CPython can reuse after GC.  Seeded from a
+        #: process-wide counter so a REPLACED mirror never repeats a version
+        #: an old mirror already handed out.
+        DeviceMirror._version_seed += 1_000_000
+        self.version = DeviceMirror._version_seed
 
     def _wants_sqnorm(self) -> bool:
         return self.store.metric in (
@@ -224,6 +233,7 @@ class DeviceMirror:
         self.nbr = jnp.asarray(self.graph.nbr_ids[: self.store._x.shape[0]])
         self.sqnorm = D.sq_norms(self.x) if self._wants_sqnorm() else None
         self.capacity = self.store._x.shape[0]
+        self.version += 1
 
     def update_rows(self, obj_ids: np.ndarray | None, nbr_ids: np.ndarray | None):
         if self.x is None or self.capacity != self.store._x.shape[0]:
@@ -235,6 +245,7 @@ class DeviceMirror:
                 self.nbr = _scatter_rows(
                     self.nbr, jnp.asarray(pad), jnp.asarray(self.graph.nbr_ids[pad])
                 )
+                self.version += 1
             return
         opad = _pad_ids(np.asarray(obj_ids), _bucket(len(obj_ids)))
         npad = _pad_ids(
@@ -254,6 +265,7 @@ class DeviceMirror:
             jnp.asarray(sq) if sq is not None else None,
             jnp.asarray(npad), jnp.asarray(self.graph.nbr_ids[npad]),
         )
+        self.version += 1
 
 
 def _hash_bits_for(capacity: int) -> tuple[int, bool]:
@@ -356,16 +368,30 @@ def build_bulk(
         sqn_fast = sqn if sqn is not None else D.sq_norms(x)
         x_fast = x if x.dtype == jnp.float32 else x.astype(jnp.float32)
 
-    qblock = 4096
+    # per-dispatch chunk: the tiled program handles many 8k-query tiles per
+    # call (each dispatch over the axon tunnel costs ~0.1-1 s, so dispatch
+    # COUNT — not MXU time — dominated the 1M build before tiling)
+    qtile = 8192
+    qblock = 16 * qtile if fast else 4096
     for off in range(0, len(pending), qblock):
         chunk = pending[off : off + qblock]
-        bpad = _bucket(len(chunk))
-        qrows = jnp.asarray(store._x[_pad_ids(chunk, bpad)])
-        if fast:
+        if fast and len(chunk) > qtile:
+            bpad = ((len(chunk) + qtile - 1) // qtile) * qtile
+            ids, dists = BF.fast_knn_l2_bulk(
+                jnp.asarray(_pad_ids(chunk, bpad)), x_fast, valid, sqn_fast,
+                k=k + 1, qblock=qtile,
+            )
+        elif fast:
+            # small builds: the plain single-tile program compiles far
+            # faster than the tiled scan-of-scan and dispatch count is low
+            bpad = _bucket(len(chunk))
+            qrows = jnp.asarray(store._x[_pad_ids(chunk, bpad)])
             ids, dists = BF.fast_knn_l2(
                 qrows.astype(jnp.float32), x_fast, valid, sqn_fast, k + 1,
             )
         else:
+            bpad = _bucket(len(chunk))
+            qrows = jnp.asarray(store._x[_pad_ids(chunk, bpad)])
             ids, dists = BF.linear_search(
                 qrows, x, valid, metric, k + 1, x_sqnorm=sqn
             )
@@ -671,7 +697,7 @@ def build_anng(
 
 def remove_object(
     store: VectorStore, graph: GraphStore, oid: int, metric: DistanceType
-):
+) -> np.ndarray:
     """Delete an object: tombstone + vectorized unlink + local repair.
 
     The reference relinks the deleted node's neighborhood with an MST-like
@@ -679,7 +705,10 @@ def remove_object(
     equivalent: drop all edges to the node, then reconnect its former
     neighbors to their nearest former co-neighbor so the local component
     stays attached (verified by the invariant checker instead of pointer
-    surgery)."""
+    surgery).  Returns the ids whose adjacency rows changed (incl. ``oid``)
+    so the caller can scatter-update its device mirror instead of paying a
+    full HBM re-upload per removal (the reference's delete is likewise
+    incremental)."""
     former = graph.remove_node(oid)
     former = former[former >= 0]
     # vectorized reverse scan (no back-pointers are stored; the reference
@@ -692,6 +721,7 @@ def remove_object(
     former = np.unique(np.concatenate([former, hit_rows.astype(np.int32)]))
     former = former[(former != oid) & (former >= 0)]
     former = former[graph._has_node[former]]
+    touched = [np.asarray([oid], np.int64), former.astype(np.int64)]
     if len(former) >= 2:
         rows = jnp.asarray(store._x[former])
         d = np.array(D.pairwise(metric, rows, rows))
@@ -708,3 +738,5 @@ def remove_object(
             former.astype(np.int32),
             nd.astype(np.float32),
         )
+        touched.append(former[nn].astype(np.int64))
+    return np.unique(np.concatenate(touched))

@@ -155,6 +155,89 @@ def fast_knn_l2(
     return out_i.astype(jnp.int32), out_d
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "kc", "qblock", "block")
+)
+def fast_knn_l2_bulk(
+    q_ids: jax.Array,       # [Np_pad] int32 ids into x (Np_pad % qblock == 0)
+    x: jax.Array,           # [N_pad, D_pad] f32
+    valid: jax.Array,       # [N_pad] bool
+    x_sqnorm: jax.Array,    # [N_pad] f32
+    *,
+    k: int,
+    kc: int = 0,
+    qblock: int = 8192,
+    block: int = 65536,
+) -> tuple[jax.Array, jax.Array]:
+    """Exact k-NN of MANY stored rows against the whole store in ONE device
+    program: an outer scan over query tiles wrapping the bf16-scan +
+    exact-re-rank of fast_knn_l2.
+
+    Rationale: the axon-tunneled TPU pays ~0.1-1 s per dispatch, so a bulk
+    build that dispatches one 4k-query program per chunk spends minutes on
+    round trips alone at 1M scale (245 dispatches); fusing the query loop
+    into the program cuts that to a handful (the MXU work itself is seconds
+    — 1M x 1M x 128 bf16 ≈ 260 TFLOP)."""
+    np_pad = q_ids.shape[0]
+    nq_tiles = max(np_pad // qblock, 1)
+    b = qblock
+    n = x.shape[0]
+    kc = kc if kc > 0 else 4 * k
+    nblocks = max((n + block - 1) // block, 1)
+    n_pad = nblocks * block
+    xp = jnp.pad(x, ((0, n_pad - n), (0, 0))) if n_pad != n else x
+    vp = jnp.pad(valid, (0, n_pad - n)) if n_pad != n else valid
+    sp = jnp.pad(x_sqnorm, (0, n_pad - n)) if n_pad != n else x_sqnorm
+    x16 = xp.astype(jnp.bfloat16)
+
+    def data_body(carry, i):
+        best_d, best_i, q16, q_sq = carry
+        start = i * block
+        xs = jax.lax.dynamic_slice_in_dim(x16, start, block, axis=0)
+        vs = jax.lax.dynamic_slice_in_dim(vp, start, block, axis=0)
+        ss = jax.lax.dynamic_slice_in_dim(sp, start, block, axis=0)
+        dot = jnp.dot(q16, xs.T, preferred_element_type=_F32)
+        d2 = q_sq[:, None] + ss[None, :] - 2.0 * dot
+        ids = jax.lax.broadcasted_iota(jnp.int32, (b, block), 1) + start
+        d2 = jnp.where(vs[None, :], d2, INF)
+        cat_d = jnp.concatenate([best_d, d2], axis=1)
+        cat_i = jnp.concatenate([best_i, ids], axis=1)
+        neg, sel = jax.lax.top_k(-cat_d, kc)
+        return (
+            (-neg, jnp.take_along_axis(cat_i, sel, axis=1), q16, q_sq),
+            None,
+        )
+
+    def qtile_body(_, ti):
+        idq = jax.lax.dynamic_slice_in_dim(q_ids, ti * qblock, qblock)
+        q = jnp.take(x, jnp.clip(idq, 0, n - 1), axis=0)
+        q16 = q.astype(jnp.bfloat16)
+        q_sq = jnp.sum(q.astype(_F32) ** 2, axis=-1)
+        init = (
+            jnp.full((b, kc), INF), jnp.full((b, kc), -1, jnp.int32),
+            q16, q_sq,
+        )
+        (cd, ci, _, _), _ = jax.lax.scan(
+            data_body, init, jnp.arange(nblocks, dtype=jnp.int32)
+        )
+        # exact f32 re-rank of the bf16 candidate set
+        safe = jnp.clip(ci, 0, n - 1)
+        rows = jnp.take(x, safe, axis=0).astype(_F32)
+        diff = rows - q.astype(_F32)[:, None, :]
+        dd = jnp.sum(diff * diff, axis=-1)
+        dd = jnp.where(ci >= 0, dd, INF)
+        neg, sel = jax.lax.top_k(-dd, k)
+        out_i = jnp.take_along_axis(ci, sel, axis=1)
+        out_d = jnp.sqrt(jnp.maximum(-neg, 0.0))
+        out_i = jnp.where(jnp.isinf(-neg), -1, out_i)
+        return None, (out_i.astype(jnp.int32), out_d)
+
+    _, (all_i, all_d) = jax.lax.scan(
+        qtile_body, None, jnp.arange(nq_tiles, dtype=jnp.int32)
+    )
+    return all_i.reshape(np_pad, k), all_d.reshape(np_pad, k)
+
+
 def recall_at_k(found_ids: np.ndarray, gt_ids: np.ndarray, k: int) -> float:
     """recall@k as computed by the reference's evaluator
     (Optimizer::evaluate, Optimizer.h:130-226): |found ∩ gt| / k averaged."""

@@ -5,18 +5,37 @@ centroids held in an NGT graph index), per-centroid inverted lists of packed
 (objectID, localID[M]) records, per-subspace local codebooks over residuals,
 and raw objects in an ArrayFile; search = global-codebook lookup ->
 aggregate candidates from inverted lists via LUTs -> optional exact
-refinement (five AggregationModes, Quantizer.h:2266-2549).
+refinement (five AggregationModes, Quantizer.h:2266-2549); insert assigns
+to existing centroids and k-means-rebuilds local codebooks at capacity
+(Quantizer.h:1846-1959).
 
 TPU redesign:
 * the global codebook is a dense centroid matrix — scoring a query batch
   against all C centroids is ONE matmul + top-nprobe (a graph index over
   centroids is pointless when the MXU does C=100k in microseconds);
-* inverted lists are fixed-width padded arrays ``list_ids[C, L]`` /
-  ``list_codes[C, L, M]`` so a probe is a static-shape gather;
-* residual PQ scoring = LUT take_along_axis sum (quant.pq), batched over
-  the nprobe gathered lists;
-* refinement (AggregationMode exact / exact-after-approx) = exact re-rank
-  of the approximate top-k' against the raw vectors kept on device.
+* inverted lists are BUCKETED: fixed-size buckets of ``bucket_len`` records
+  chained per centroid (``cent_buckets [C, B] -> bucket_ids/codes [NB, L]``)
+  — memory is O(N + C·bucket_len) instead of the O(C·L_max·M) a flat
+  padded layout costs on skewed clusters, while every probe stays a
+  static-shape gather;
+* records are PACKED: two 4-bit PQ codes per byte when ksub <= 16 (the
+  reference packs local ids the same way, localIDByteSize/compressIntoUint4,
+  Quantizer.h:45-143, 1305-1327);
+* residual PQ scoring = per-probe LUT gather-sum (the reference's cached
+  LUTs, Quantizer.h:683-760 — on TPU every LUT is computed once per
+  (query, probe) and reused for the whole list, i.e. always "cached");
+* aggregation modes mirror the reference's search modes
+  (NGTQCommand.h:299-312): ``approx``/``lut``/``cached-lut`` = LUT sum
+  (identical on TPU by construction), ``refine`` = exact re-rank of the
+  approximate top-k' (ExactDistance after approx), ``exact`` = exact
+  distances for every probed record;
+* raw objects can live on device, in host RAM, or in an on-disk memmap
+  (``raw_store``) — the ArrayFile analogue (ArrayFile.h:32-219) that keeps
+  indexes bigger than HBM/RAM refinable;
+* incremental insert assigns to EXISTING centroids with EXISTING codebooks
+  (no retrain); codebooks retrain + re-encode only when the index has grown
+  past ``rebuild_factor`` x its trained size (``rebuild()``), mirroring the
+  reference's rebuild-at-capacity.
 """
 
 from __future__ import annotations
@@ -32,50 +51,52 @@ import jax.numpy as jnp
 from ngt_tpu.ops import distances as D
 from ngt_tpu.properties import DistanceType
 from ngt_tpu.quant.clustering import kmeans
-from ngt_tpu.quant.pq import ProductQuantizer
+from ngt_tpu.quant.pq import ProductQuantizer, pack_codes4, unpack_codes4
 
 _F32 = jnp.float32
 _PREC = jax.lax.Precision.HIGHEST
 INF = np.float32(np.inf)
 
+#: records per inverted-list bucket (multiple of the 128-lane width; small
+#: enough that per-centroid padding waste stays below bucket_len records)
+BUCKET_LEN = 128
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "k", "m"))
-def _ivfpq_search(
-    list_ids, list_codes, list_valid, lut_flat, q_cent_d,
-    *, nprobe, k, m,
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "m", "packed")
+)
+def _probe_lists(
+    cent_buckets, bucket_ids, bucket_codes, lut_flat, probe,
+    *, k, m, packed,
 ):
-    """One fused IVF+PQ probe.
-    centroids [C, D]; list_ids [C, L]; list_codes [C, L, M];
-    lut_flat [B, M*K] residual LUTs per (query, probed centroid) are NOT
-    precomputable per centroid — the reference solves this with per-centroid
-    cached LUTs; here the LUT is computed against the PQ codebooks of the
-    RESIDUAL space, shared across centroids, and the centroid term is added
-    separately:  d^2(q, c + r) ≈ ||q - c||^2 + (2(q-c)·r̂ + ||r̂||^2) — we use
-    the standard IVFADC decomposition with LUTs built on (q - c) per probe.
-
-    For exactness of the decomposition we pass per-probe LUTs below instead;
-    this kernel just gathers lists and sums LUT entries.
-    lut_flat here: [B, P, M*K] per-probe LUTs;
-    q_cent_d: [B, P] ids of probed centroids.
-    """
-    b = lut_flat.shape[0]
-    p = lut_flat.shape[1]
+    """Gather the probed centroids' bucket chains and LUT-score every
+    record.  cent_buckets [C, Bc]; bucket_ids [NB, L]; bucket_codes
+    [NB, L, Mp]; lut_flat [B, P, M*K]; probe [B, P].  Returns the
+    approximate top-k (ids, squared distances)."""
+    b, p = probe.shape
     kk = lut_flat.shape[2] // m
-    probe_ids = q_cent_d                                  # [B, P] int32
-    ids = jnp.take(list_ids, probe_ids, axis=0)           # [B, P, L]
-    codes = jnp.take(list_codes, probe_ids, axis=0)       # [B, P, L, M]
-    ok = jnp.take(list_valid, probe_ids, axis=0)          # [B, P, L]
-    lut = lut_flat.reshape(b, p, m, kk)
-    vals = jnp.take_along_axis(
-        lut[:, :, None, :, :],                            # [B, P, 1, M, K]
-        codes.astype(jnp.int32)[:, :, :, :, None],        # [B, P, L, M, 1]
-        axis=4,
-    )[..., 0]
-    d2 = jnp.sum(vals, axis=-1)                           # [B, P, L]
+    bsel = jnp.take(cent_buckets, probe, axis=0)          # [B, P, Bc]
+    ok_b = bsel >= 0
+    bsafe = jnp.clip(bsel, 0, bucket_ids.shape[0] - 1)
+    ids = jnp.take(bucket_ids, bsafe, axis=0)             # [B, P, Bc, L]
+    codes = jnp.take(bucket_codes, bsafe, axis=0)         # [B, P, Bc, L, Mp]
+    if packed:
+        lo = (codes & jnp.uint8(0x0F)).astype(jnp.int32)
+        hi = (codes >> jnp.uint8(4)).astype(jnp.int32)
+        codes = jnp.stack([lo, hi], axis=5).reshape(
+            *codes.shape[:4], 2 * codes.shape[4]
+        )[..., :m]
+    else:
+        codes = codes.astype(jnp.int32)
+    lut = lut_flat.reshape(b, p, 1, 1, m, kk)
+    vals = jnp.take_along_axis(lut, codes[..., None], axis=5)[..., 0]
+    d2 = jnp.sum(vals, axis=-1)                           # [B, P, Bc, L]
+    ok = (ids >= 0) & ok_b[..., None]
     d2 = jnp.where(ok, d2, jnp.inf)
     flat_d = d2.reshape(b, -1)
     flat_i = ids.reshape(b, -1)
-    neg, sel = jax.lax.top_k(-flat_d, k)
+    kcap = min(k, flat_d.shape[1])
+    neg, sel = jax.lax.top_k(-flat_d, kcap)
     out_i = jnp.take_along_axis(flat_i, sel, axis=1)
     out_d = -neg
     out_i = jnp.where(jnp.isfinite(out_d), out_i, -1)
@@ -84,7 +105,8 @@ def _ivfpq_search(
 
 class IVFPQIndex:
     """NGTQ-style quantized index (API mirrors NGTQ::Index,
-    Quantizer.h:2720-2939: insert/search/save/open, result-expansion)."""
+    Quantizer.h:2720-2939: insert/search/save/open, result-expansion,
+    validate; plus rebuild-at-capacity)."""
 
     def __init__(
         self,
@@ -94,109 +116,284 @@ class IVFPQIndex:
         ksub: int = 16,
         metric: DistanceType = DistanceType.L2,
         keep_raw: bool = True,
+        raw_store: str = "device",   # "device" | "host" | "mmap" | "none"
+        raw_path: str | None = None,  # backing file for raw_store="mmap"
+        rebuild_factor: float = 2.0,
+        train_sample: int = 262_144,
     ):
         self.dimension = dimension
         self.metric = DistanceType(metric)
         self.n_centroids = int(n_centroids)
         self.pq = ProductQuantizer(dimension, dsub=dsub, ksub=ksub)
-        self.keep_raw = keep_raw
+        self.packed = self.pq.ksub <= 16
+        if not keep_raw:
+            raw_store = "none"
+        self.raw_store = raw_store
+        self.raw_path = raw_path
+        self.rebuild_factor = float(rebuild_factor)
+        self.train_sample = int(train_sample)
         self.centroids: np.ndarray | None = None
-        self._x: list[np.ndarray] = []        # raw objects (ArrayFile analogue)
-        self._assign: np.ndarray | None = None
-        self._codes: np.ndarray | None = None
-        self._built = False
+        self._raw = None                       # ndarray | memmap | None
+        self._pending: list[np.ndarray] = []   # inserted, not yet encoded
+        self._assign = np.zeros((0,), np.int32)
+        self._codes = np.zeros((0, 0), np.uint8)  # packed when self.packed
+        self._trained_size = 0
         self._dev = None
 
-    # ------------------------------------------------------------------
+    # ------------------------------------------------------------- sizing --
+    @property
+    def size(self) -> int:
+        return len(self._assign) + sum(len(a) for a in self._pending)
+
+    @property
+    def built(self) -> bool:
+        return self.centroids is not None
+
+    def needs_rebuild(self) -> bool:
+        """True when the index grew past rebuild_factor x its trained size —
+        the analogue of a local codebook hitting capacity
+        (Quantizer.h:1846-1893)."""
+        return (
+            self.built
+            and self.size > self.rebuild_factor * max(self._trained_size, 1)
+        )
+
+    def memory_report(self) -> dict:
+        """Bytes per component (the role of getSharedMemorySize,
+        Quantizer.h:2672-2684)."""
+        n = len(self._assign)
+        mp = self._codes.shape[1] if self._codes.size else (
+            (self.pq.m + 1) // 2 if self.packed else self.pq.m
+        )
+        raw = 0 if self._raw is None or self.raw_store == "mmap" else (
+            self._raw.nbytes
+        )
+        return {
+            "objects": int(n),
+            "codes_bytes": int(n * mp),
+            "ids_bytes": int(n * 4),
+            "centroid_bytes": int(
+                0 if self.centroids is None else self.centroids.nbytes
+            ),
+            "raw_bytes_resident": int(raw),
+            "raw_store": self.raw_store,
+        }
+
+    # ------------------------------------------------------------ mutation --
     def batch_insert(self, x: np.ndarray) -> None:
+        """Queue vectors; encoded lazily.  After ``build()`` new batches are
+        assigned to EXISTING centroids with EXISTING codebooks — no silent
+        full retrain (the reference's insert path, Quantizer.h:1895-1959).
+        Call ``rebuild()`` (or let ``needs_rebuild`` tell you) once the
+        index outgrows its codebooks."""
         x = np.asarray(x, np.float32)
+        if x.ndim == 1:
+            x = x[None]
         if x.shape[1] != self.dimension:
             raise ValueError(
                 f"dimension mismatch: got {x.shape[1]}, want {self.dimension}"
             )
-        self._x.append(x)
-        self._built = False
+        self._pending.append(x)
+        if self.built:
+            self._flush_pending()
 
-    @property
-    def size(self) -> int:
-        return sum(len(a) for a in self._x)
+    def _append_raw(self, x: np.ndarray) -> None:
+        if self.raw_store == "none":
+            return
+        if self.raw_store == "mmap":
+            if self.raw_path is None:
+                raise ValueError("raw_store='mmap' needs raw_path")
+            old = 0 if self._raw is None else self._raw.shape[0]
+            new = np.memmap(
+                self.raw_path, dtype=np.float32, mode="r+" if old else "w+",
+                shape=(old + len(x), self.dimension),
+            )
+            new[old:] = x
+            new.flush()
+            self._raw = new
+        else:
+            self._raw = (
+                x.copy() if self._raw is None
+                else np.concatenate([self._raw, x], axis=0)
+            )
 
-    def build(self, kmeans_iters: int = 15, seed: int = 0) -> None:
-        """Train global + local codebooks, encode residuals, build lists
-        (the batch path of NGTQ insert + codebook rebuild,
-        Quantizer.h:1846-1959)."""
-        x = np.concatenate(self._x, axis=0) if self._x else np.zeros(
-            (0, self.dimension), np.float32
-        )
-        if len(x) == 0:
-            raise ValueError("nothing to build")
-        c = min(self.n_centroids, len(x))
-        self.centroids, assign = kmeans(x, c, iters=kmeans_iters, seed=seed)
+    def _flush_pending(self) -> None:
+        """Assign + encode every pending batch against the current
+        codebooks and grow the inverted lists."""
+        if not self._pending:
+            return
+        x = np.concatenate(self._pending, axis=0)
+        self._pending = []
+        assign = self._assign_to_centroids(x)
         resid = x - self.centroids[assign]
-        self.pq.fit(resid, center=False)
         codes = self.pq.encode(resid)
-        self._assign = assign
-        self._codes = codes
-        self._x = [x]
-        self._built = True
+        if self.packed:
+            codes = pack_codes4(codes)
+        self._assign = np.concatenate([self._assign, assign])
+        self._codes = (
+            codes if self._codes.size == 0
+            else np.concatenate([self._codes, codes], axis=0)
+        )
+        self._append_raw(x)
         self._dev = None
 
-    # ------------------------------------------------------------------
+    def _assign_to_centroids(self, x: np.ndarray) -> np.ndarray:
+        cd = jnp.asarray(self.centroids)
+        out = np.empty(len(x), np.int32)
+        for s in range(0, len(x), 65536):
+            d = D.pairwise(
+                DistanceType.L2, jnp.asarray(x[s : s + 65536]), cd
+            )
+            out[s : s + 65536] = np.asarray(jnp.argmin(d, axis=1))
+        return out
+
+    def build(self, kmeans_iters: int = 15, seed: int = 0) -> None:
+        """Train global + local codebooks on (a sample of) the pending data,
+        then encode everything (the batch path of NGTQ insert + codebook
+        build, Quantizer.h:1846-1959)."""
+        if not self._pending and not self.built:
+            raise ValueError("nothing to build")
+        x = np.concatenate(self._pending, axis=0) if self._pending else None
+        if self.built and x is not None:
+            self._flush_pending()
+            return
+        self._pending = []
+        rng = np.random.default_rng(seed)
+        train = x
+        if len(x) > self.train_sample:
+            train = x[rng.choice(len(x), self.train_sample, replace=False)]
+        c = min(self.n_centroids, len(train))
+        self.centroids, _ = kmeans(train, c, iters=kmeans_iters, seed=seed)
+        assign = self._assign_to_centroids(x)
+        resid = x - self.centroids[assign]
+        rs = resid
+        if len(rs) > self.train_sample:
+            rs = rs[rng.choice(len(rs), self.train_sample, replace=False)]
+        self.pq.fit(rs, center=False)
+        codes = self.pq.encode(resid)
+        if self.packed:
+            codes = pack_codes4(codes)
+        self._assign = assign
+        self._codes = codes
+        self._raw = None
+        self._append_raw(x)
+        self._trained_size = len(x)
+        self._dev = None
+
+    def rebuild(self, kmeans_iters: int = 15, seed: int = 0) -> None:
+        """Retrain codebooks on the CURRENT population and re-encode — the
+        analogue of buildMultipleLocalCodebooks + replaceInvertedIndexEntry
+        at capacity (Quantizer.h:1846-1893).  Requires raw vectors."""
+        self._flush_pending()
+        if self._raw is None:
+            raise ValueError("rebuild needs raw vectors (raw_store != 'none')")
+        x = np.asarray(self._raw, np.float32)
+        self._pending = [x]
+        self.centroids = None
+        self._assign = np.zeros((0,), np.int32)
+        self._codes = np.zeros((0, 0), np.uint8)
+        self._raw = None
+        self.build(kmeans_iters=kmeans_iters, seed=seed)
+
+    # -------------------------------------------------------------- device --
     def _device(self):
+        """Bucketed inverted lists on device (see module docstring)."""
         if self._dev is not None:
             return self._dev
-        x = self._x[0]
+        self._flush_pending()
         c = len(self.centroids)
+        n = len(self._assign)
         counts = np.bincount(self._assign, minlength=c)
-        l_max = max(int(counts.max()), 1)
-        list_ids = np.full((c, l_max), -1, np.int32)
-        list_codes = np.zeros((c, l_max, self.pq.m), np.uint8)
+        nbuckets = np.maximum((counts + BUCKET_LEN - 1) // BUCKET_LEN, 0)
+        b_cap = max(int(nbuckets.max()), 1)
+        nb = max(int(nbuckets.sum()), 1)
+        cent_buckets = np.full((c, b_cap), -1, np.int32)
+        bucket_start = np.concatenate([[0], np.cumsum(nbuckets)[:-1]])
+        for ci in np.nonzero(nbuckets)[0]:
+            cent_buckets[ci, : nbuckets[ci]] = np.arange(
+                bucket_start[ci], bucket_start[ci] + nbuckets[ci]
+            )
+        mp = self._codes.shape[1]
+        bucket_ids = np.full((nb, BUCKET_LEN), -1, np.int32)
+        bucket_codes = np.zeros((nb, BUCKET_LEN, mp), np.uint8)
         order = np.argsort(self._assign, kind="stable")
         sorted_assign = self._assign[order]
         starts = np.searchsorted(sorted_assign, np.arange(c))
-        slot = np.arange(len(x)) - starts[sorted_assign]
-        list_ids[sorted_assign, slot] = order.astype(np.int32)
-        list_codes[sorted_assign, slot] = self._codes[order]
+        slot = np.arange(n) - starts[sorted_assign]
+        brow = bucket_start[sorted_assign] + slot // BUCKET_LEN
+        bcol = slot % BUCKET_LEN
+        bucket_ids[brow, bcol] = order.astype(np.int32)
+        bucket_codes[brow, bcol] = self._codes[order]
         self._dev = {
             "centroids": jnp.asarray(self.centroids),
-            "list_ids": jnp.asarray(list_ids),
-            "list_codes": jnp.asarray(list_codes),
-            "list_valid": jnp.asarray(list_ids >= 0),
-            "x": jnp.asarray(x) if self.keep_raw else None,
+            "cent_buckets": jnp.asarray(cent_buckets),
+            "bucket_ids": jnp.asarray(bucket_ids),
+            "bucket_codes": jnp.asarray(bucket_codes),
+            "x": (
+                jnp.asarray(np.asarray(self._raw))
+                if self.raw_store == "device" and self._raw is not None
+                else None
+            ),
         }
         return self._dev
 
+    def _raw_rows(self, ids: np.ndarray) -> jax.Array:
+        """Candidate raw rows for refinement, from wherever raw lives."""
+        dev = self._device()
+        if dev["x"] is not None:
+            safe = jnp.clip(jnp.asarray(ids), 0, dev["x"].shape[0] - 1)
+            return jnp.take(dev["x"], safe, axis=0)
+        if self._raw is None:
+            raise ValueError("refinement needs raw vectors")
+        safe = np.clip(ids, 0, self._raw.shape[0] - 1)
+        return jnp.asarray(np.asarray(self._raw)[safe])  # host gather (mmap)
+
+    # -------------------------------------------------------------- search --
     def batch_search(
         self,
         queries: np.ndarray,
         size: int = 10,
         nprobe: int = 8,
         result_expansion: float = 3.0,
-        refine: bool = True,
+        mode: str = "refine",
     ):
-        """IVFADC search: probe top-nprobe centroids, LUT-score their lists,
-        optional exact refinement (the reference's AggregationModes: refine=
-        False ≈ ApproximateDistance, True ≈ ExactDistance after approx,
-        Quantizer.h:2266-2549)."""
-        if not self._built:
+        """IVFADC search.  ``mode`` mirrors the reference's aggregation
+        modes (Quantizer.h:2266-2549, CLI letters NGTQCommand.h:299-312):
+
+        * ``"approx"`` / ``"lut"`` / ``"cached-lut"`` (a/l/c) — LUT-summed
+          approximate distances (on TPU the LUT is computed once per
+          (query, probe) and reused, so these coincide by construction);
+        * ``"refine"`` (r) — approximate top-(size·expansion), exact
+          re-rank (ExactDistance after approx; the default);
+        * ``"exact"`` (e) — exact distances for EVERY probed record.
+        """
+        if not self.built:
             self.build()
         dev = self._device()
         q = np.asarray(queries, np.float32)
+        if q.ndim == 1:
+            q = q[None]
         b = len(q)
         nprobe = min(nprobe, len(self.centroids))
+        mode = {
+            "a": "approx", "l": "lut", "c": "cached-lut", "r": "refine",
+            "e": "exact",
+        }.get(mode, mode)
+        refine = mode == "refine"
         k_exp = (
             max(int(np.ceil(size * max(result_expansion, 1.0))), size)
             if refine
             else size
         )
 
-        # centroid scoring: one matmul
         qd = jnp.asarray(q)
         cd = D.pairwise(DistanceType.L2, qd, dev["centroids"])
         _, probe = jax.lax.top_k(-cd, nprobe)              # [B, P]
 
-        # per-probe residual LUTs: LUT of (q - centroid_p), all on device
-        # (the PQ was fit on residuals with center=False, so mean is zero)
+        if mode == "exact":
+            return self._search_exact(qd, probe, size)
+
+        # per-probe residual LUTs (PQ fit on residuals; mean is zero)
         from ngt_tpu.quant.pq import _lut
 
         cent_rows = jnp.take(dev["centroids"], probe, axis=0)  # [B, P, D]
@@ -204,29 +401,49 @@ class IVFPQIndex:
         lut = _lut(qr, jnp.asarray(self.pq.codebooks), self.pq.m)
         lut_flat = lut.reshape(b, nprobe, -1)
 
-        ids, dists = _ivfpq_search(
-            dev["list_ids"], dev["list_codes"],
-            dev["list_valid"], lut_flat, probe,
-            nprobe=nprobe, k=min(k_exp, dev["list_ids"].shape[1] * nprobe),
-            m=self.pq.m,
+        ids, dists = _probe_lists(
+            dev["cent_buckets"], dev["bucket_ids"], dev["bucket_codes"],
+            lut_flat, probe, k=k_exp, m=self.pq.m, packed=self.packed,
         )
-        if refine and dev["x"] is not None:
-            safe = jnp.clip(ids, 0, dev["x"].shape[0] - 1)
-            rows = jnp.take(dev["x"], safe, axis=0)
+        if refine:
+            ids_h = np.asarray(ids)
+            rows = self._raw_rows(ids_h)
             dd = D.gathered(self.metric, qd, rows)
-            dd = jnp.where(ids >= 0, dd, jnp.inf)
+            dd = jnp.where(jnp.asarray(ids_h) >= 0, dd, jnp.inf)
             neg, sel = jax.lax.top_k(-dd, size)
-            ids = jnp.take_along_axis(ids, sel, axis=1)
-            dists = -neg
-            ids = jnp.where(jnp.isfinite(dists), ids, -1)
-        else:
-            ids, dists = ids[:, :size], jnp.sqrt(jnp.maximum(dists[:, :size], 0))
+            out_i = jnp.take_along_axis(jnp.asarray(ids_h), sel, axis=1)
+            out_d = -neg
+            out_i = jnp.where(jnp.isfinite(out_d), out_i, -1)
+            return np.asarray(out_i), np.asarray(out_d)
+        ids = ids[:, :size]
+        dists = jnp.sqrt(jnp.maximum(dists[:, :size], 0))
         return np.asarray(ids), np.asarray(dists)
 
-    def search(self, query, size=10, nprobe=8, result_expansion=3.0):
+    def _search_exact(self, qd, probe, size):
+        """Exact distances for every probed record (AggregationMode
+        ExactDistance, Quantizer.h:2266-2304): gather probed ids, score the
+        raw rows with the true metric."""
+        dev = self._device()
+        bsel = jnp.take(dev["cent_buckets"], probe, axis=0)
+        bsafe = jnp.clip(bsel, 0, dev["bucket_ids"].shape[0] - 1)
+        ids = jnp.take(dev["bucket_ids"], bsafe, axis=0)
+        ids = jnp.where((bsel >= 0)[..., None], ids, -1)
+        b = ids.shape[0]
+        flat = np.asarray(ids.reshape(b, -1))
+        rows = self._raw_rows(flat)
+        dd = D.gathered(self.metric, qd, rows)
+        dd = jnp.where(jnp.asarray(flat) >= 0, dd, jnp.inf)
+        neg, sel = jax.lax.top_k(-dd, size)
+        out_i = jnp.take_along_axis(jnp.asarray(flat), sel, axis=1)
+        out_d = -neg
+        out_i = jnp.where(jnp.isfinite(out_d), out_i, -1)
+        return np.asarray(out_i), np.asarray(out_d)
+
+    def search(self, query, size=10, nprobe=8, result_expansion=3.0,
+               mode: str = "refine"):
         ids, dists = self.batch_search(
             np.asarray(query, np.float32)[None, :], size=size, nprobe=nprobe,
-            result_expansion=result_expansion,
+            result_expansion=result_expansion, mode=mode,
         )
         return [
             (int(i), float(d))
@@ -234,32 +451,68 @@ class IVFPQIndex:
             if i >= 0 and np.isfinite(d)
         ]
 
-    # ------------------------------------------------------------------
+    # ------------------------------------------------------------- audits --
     def verify(self) -> list[str]:
         """Inverted-index consistency (reference NGTQ validate/verify,
         Quantizer.h:2140-2246, 2612-2668)."""
         errs = []
-        if not self._built:
+        if not self.built:
             return ["index not built"]
+        self._flush_pending()
         n = self.size
         if self._assign.shape[0] != n or self._codes.shape[0] != n:
             errs.append("assignment/code count mismatch")
-        if (self._assign < 0).any() or (
-            self._assign >= len(self.centroids)
-        ).any():
+        if len(self._assign) and (
+            (self._assign < 0).any()
+            or (self._assign >= len(self.centroids)).any()
+        ):
             errs.append("assignment out of range")
-        if (self._codes >= self.pq.ksub).any():
+        codes = self._codes
+        if self.packed and codes.size:
+            codes = unpack_codes4(codes, self.pq.m)
+        if codes.size and (codes >= self.pq.ksub).any():
             errs.append("code out of range")
+        if self._raw is not None and self._raw.shape[0] != n:
+            errs.append("raw object count mismatch")
         return errs
 
+    def quantization_error(self, sample: int = 1024, seed: int = 0) -> dict:
+        """Mean |ADC - exact| distance error over a sample — the reference's
+        quantization-error audit (Quantizer.h:2552-2584)."""
+        self._flush_pending()
+        if self._raw is None:
+            raise ValueError("audit needs raw vectors")
+        rng = np.random.default_rng(seed)
+        n = len(self._assign)
+        pick = rng.choice(n, size=min(sample, n), replace=False)
+        x = np.asarray(self._raw)[pick]
+        codes = self._codes[pick]
+        if self.packed:
+            codes = unpack_codes4(codes, self.pq.m)
+        recon = self.pq.decode(codes) + self.centroids[self._assign[pick]]
+        err = np.linalg.norm(x - recon, axis=1)
+        scale = np.linalg.norm(x - x.mean(0), axis=1).mean() or 1.0
+        return {
+            "mean_reconstruction_error": float(err.mean()),
+            "relative_error": float(err.mean() / scale),
+            "max_reconstruction_error": float(err.max()),
+        }
+
+    # -------------------------------------------------------- persistence --
     def save(self, path: str) -> None:
+        self._flush_pending()
         os.makedirs(path, exist_ok=True)
+        raw = (
+            np.zeros((0, self.dimension), np.float32)
+            if self._raw is None or self.raw_store == "mmap"
+            else np.asarray(self._raw)
+        )
         np.savez(
             os.path.join(path, "ivfpq.npz"),
             centroids=self.centroids,
             assign=self._assign,
             codes=self._codes,
-            x=self._x[0] if self.keep_raw else np.zeros((0, self.dimension)),
+            x=raw,
             **{f"pq_{k}": v for k, v in self.pq.state_dict().items()},
         )
         with open(os.path.join(path, "ivfpq.json"), "w") as fh:
@@ -268,7 +521,11 @@ class IVFPQIndex:
                     "dimension": self.dimension,
                     "metric": int(self.metric),
                     "n_centroids": self.n_centroids,
-                    "keep_raw": self.keep_raw,
+                    "raw_store": self.raw_store,
+                    "raw_path": self.raw_path,
+                    "packed": self.packed,
+                    "trained_size": self._trained_size,
+                    "rebuild_factor": self.rebuild_factor,
                 },
                 fh,
             )
@@ -284,12 +541,24 @@ class IVFPQIndex:
             dsub=int(st["pq_dsub"]),
             ksub=int(st["pq_ksub"]),
             metric=DistanceType(meta["metric"]),
-            keep_raw=meta["keep_raw"],
+            raw_store=meta.get("raw_store", "device"),
+            raw_path=meta.get("raw_path"),
+            rebuild_factor=meta.get("rebuild_factor", 2.0),
         )
         idx.centroids = st["centroids"]
         idx._assign = st["assign"]
-        idx._codes = st["codes"]
-        idx._x = [st["x"].astype(np.float32)]
+        codes = st["codes"]
+        if not meta.get("packed", False) and idx.packed:
+            codes = pack_codes4(codes)  # round-1 unpacked format
+        idx._codes = codes
+        if idx.raw_store == "mmap":
+            n = len(idx._assign)
+            idx._raw = np.memmap(
+                idx.raw_path, dtype=np.float32, mode="r",
+                shape=(n, idx.dimension),
+            )
+        elif idx.raw_store != "none" and st["x"].size:
+            idx._raw = st["x"].astype(np.float32)
         idx.pq = ProductQuantizer.from_state(
             {
                 "codebooks": st["pq_codebooks"],
@@ -299,5 +568,5 @@ class IVFPQIndex:
                 "dimension": int(st["pq_dimension"]),
             }
         )
-        idx._built = True
+        idx._trained_size = int(meta.get("trained_size", len(idx._assign)))
         return idx

@@ -64,6 +64,54 @@ def _lut(q, codebooks, m):
     return jnp.sum(diff * diff, axis=-1)                    # [B, M, K]
 
 
+def pack_codes4(codes: np.ndarray) -> np.ndarray:
+    """Pack two 4-bit codes per byte: [N, M] uint8 (values < 16) ->
+    [N, ceil(M/2)] uint8, low nibble = even subspace (the reference packs
+    the same way in compressIntoUint4, NGTQ/Quantizer.h:1305-1327; halves
+    HBM for the code matrix and the neighbor blocks)."""
+    n, m = codes.shape
+    if m % 2:
+        codes = np.concatenate(
+            [codes, np.zeros((n, 1), np.uint8)], axis=1
+        )
+    lo = codes[:, 0::2]
+    hi = codes[:, 1::2]
+    return (lo | (hi << 4)).astype(np.uint8)
+
+
+def unpack_codes4(packed: np.ndarray, m: int) -> np.ndarray:
+    """Inverse of pack_codes4 (host side)."""
+    lo = packed & 0x0F
+    hi = packed >> 4
+    out = np.empty((packed.shape[0], packed.shape[1] * 2), np.uint8)
+    out[:, 0::2] = lo
+    out[:, 1::2] = hi
+    return out[:, :m]
+
+
+@functools.lru_cache(maxsize=None)  # stable identity: scorer is a static
+def make_packed_scorer(m: int, k: int):  # jit arg of graph_search
+    """Scorer over PACKED 4-bit codes with the graph_search scorer
+    signature: unpack on the VPU (two cheap bitwise ops) instead of paying
+    2x HBM for unpacked bytes.  m = subspace count (LUT layout), k = ksub.
+    The packed byte's low nibble is the even subspace (pack_codes4)."""
+
+    def adc_packed(lut_flat, packed, rows_sq=None, q_sq=None):
+        # lut_flat: [B, M*K]; packed: [B, E, ceil(M/2)] uint8
+        b = lut_flat.shape[0]
+        e, mp = packed.shape[1], packed.shape[2]
+        lo = (packed & jnp.uint8(0x0F)).astype(jnp.int32)
+        hi = (packed >> jnp.uint8(4)).astype(jnp.int32)
+        codes = jnp.stack([lo, hi], axis=3).reshape(b, e, 2 * mp)[:, :, :m]
+        lut = lut_flat.reshape(b, 1, m, k)
+        idx = codes[:, :, :, None]
+        kk = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, k), 3)
+        vals = jnp.sum(jnp.where(idx == kk, lut, 0.0), axis=3)
+        return jnp.sum(vals, axis=-1)
+
+    return adc_packed
+
+
 def adc_gathered(lut_flat: jax.Array, codes: jax.Array, rows_sq=None,
                  q_sq=None) -> jax.Array:
     """PQ scorer with the graph_search scorer signature.

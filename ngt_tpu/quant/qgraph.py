@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ngt_tpu.graph.search import graph_search
 from ngt_tpu.ops import distances as D
-from ngt_tpu.quant.pq import ProductQuantizer, adc_gathered
+from ngt_tpu.quant.pq import ProductQuantizer, make_packed_scorer
 from ngt_tpu.properties import DistanceType
 from ngt_tpu.seeds import default_reps
 
@@ -68,13 +68,19 @@ class QuantizedGraphIndex:
                  block_edges: int = 0):
         self.index = index
         self.pq = pq
-        self.codes = codes  # [cap, M] uint8 (pq4) or [cap, D_pad] int8 (sq8)
+        # [cap, ceil(M/2)] uint8 PACKED nibbles (pq4; pack_codes4) or
+        # [cap, D_pad] int8 (sq8)
+        self.codes = codes
         self.mode = mode
         self.sq_scale = float(sq_scale)
         #: neighbors per block row (0 = all e_max edges).  Blocks cost
         #: N*block_edges*M bytes of HBM; cap them for large indexes
         self.block_edges = int(block_edges)
         self._codes_dev = None
+        #: store.mutation_count at last encode — objects inserted/removed
+        #: after quantize() trigger a re-encode instead of silently carrying
+        #: all-zero codes
+        self._codes_mut = index.store.mutation_count
 
     # ------------------------------------------------------------------
     @classmethod
@@ -98,17 +104,46 @@ class QuantizedGraphIndex:
         # quantize over the padded dim so code gathers align with the mirror
         pq = ProductQuantizer(d_pad, dsub=dsub, ksub=ksub)
         pq.fit(x[live], iters=iters)
-        codes = np.zeros((store._x.shape[0], pq.m), np.uint8)
-        codes[:n][live] = pq.encode(x[live])
+        from ngt_tpu.quant.pq import pack_codes4
+
+        mp = (pq.m + 1) // 2
+        codes = np.zeros((store._x.shape[0], mp), np.uint8)
+        codes[:n][live] = pack_codes4(pq.encode(x[live]))
         return cls(index, pq, codes, mode="pq4")
 
     # ------------------------------------------------------------------
+    def _encode_rows(self, x_live: np.ndarray) -> np.ndarray:
+        if self.mode == "sq8":
+            peak = float(np.abs(x_live).max()) if len(x_live) else 1.0
+            if peak > 127.0 * self.sq_scale:
+                self.sq_scale = peak / 127.0
+            return np.clip(
+                np.round(x_live / self.sq_scale), -127, 127
+            ).astype(np.int8)
+        from ngt_tpu.quant.pq import pack_codes4
+
+        return pack_codes4(self.pq.encode(x_live))
+
     def _dev_codes(self):
-        cap = self.index.store._x.shape[0]
+        store = self.index.store
+        cap = store._x.shape[0]
+        stale = store.mutation_count != self._codes_mut
         if self.codes.shape[0] < cap:
             grown = np.zeros((cap, self.codes.shape[1]), self.codes.dtype)
             grown[: self.codes.shape[0]] = self.codes
             self.codes = grown
+            stale = True
+        if stale:
+            # objects were inserted/removed after quantize(): re-encode all
+            # live rows (zero-padded codes would silently degrade recall;
+            # slot reuse also leaves stale codes behind)
+            n = store.repository_size
+            live = store._valid[:n]
+            self.codes[:] = 0
+            if live.any():
+                x_live = store._x[:n][live].astype(np.float32)
+                self.codes[:n][live] = self._encode_rows(x_live)
+            self._codes_mut = store.mutation_count
             self._codes_dev = None
         if self._codes_dev is None:
             self._codes_dev = jnp.asarray(self.codes)
@@ -134,13 +169,16 @@ class QuantizedGraphIndex:
         cap = codes.shape[0]
         mirror = self.index._ensure_mirror()
         eb = self._effective_block_edges()
+        # keyed on the mirror's monotone version counter, NOT id(mirror.nbr):
+        # CPython can reuse an id() after the old array is GC'd, which would
+        # nondeterministically serve stale adjacency blocks
+        key = (mirror.version, self._codes_mut, eb, cap)
         if (
             getattr(self, "_blocks_dev", None) is not None
-            and self._blocks_dev.shape[0] == cap
-            and getattr(self, "_blocks_for", None) == (id(mirror.nbr), eb)
+            and getattr(self, "_blocks_for", None) == key
         ):
             return self._blocks_dev, self._nbr_eb
-        self._blocks_for = (id(mirror.nbr), eb)
+        self._blocks_for = key
         nbr = mirror.nbr[:, :eb]
         safe = jnp.clip(nbr, 0, cap - 1)
         blocks = jnp.take(codes, safe, axis=0)        # [N, eb, M]
@@ -180,7 +218,7 @@ class QuantizedGraphIndex:
         else:
             lut = self.pq.lut(np.asarray(q))               # [B, M, K]
             queries_dev = lut.reshape(lut.shape[0], -1)
-            scorer = adc_gathered
+            scorer = make_packed_scorer(self.pq.m, self.pq.ksub)
 
         if idx.seeder.num_reps == 0 and idx.graph.node_count() > 0:
             live = np.nonzero(idx.graph._has_node)[0].astype(np.int32)
@@ -252,6 +290,7 @@ class QuantizedGraphIndex:
             codes=self.codes[:n],
             mode=self.mode,
             sq_scale=self.sq_scale,
+            packed=self.mode == "pq4",
             **extra,
         )
 
@@ -272,6 +311,11 @@ class QuantizedGraphIndex:
         pq = ProductQuantizer.from_state(
             {k: st[k] for k in ("codebooks", "mean", "dsub", "ksub", "dimension")}
         )
-        codes = np.zeros((idx.store._x.shape[0], pq.m), np.uint8)
-        codes[: st["codes"].shape[0]] = st["codes"]
+        saved = st["codes"]
+        if "packed" not in st or not bool(st["packed"]):
+            from ngt_tpu.quant.pq import pack_codes4
+
+            saved = pack_codes4(saved)  # round-1 unpacked format
+        codes = np.zeros((idx.store._x.shape[0], (pq.m + 1) // 2), np.uint8)
+        codes[: saved.shape[0]] = saved
         return cls(idx, pq, codes)

@@ -85,6 +85,9 @@ class VectorStore:
         self._device_sqnorm: Optional[jax.Array] = None
         self._device_rows = 0  # rows already mirrored (prefix is immutable-ish)
         self._dirty = True
+        #: bumped on every insert/remove — lets derived structures (e.g.
+        #: quantized codes) detect staleness without holding array refs
+        self.mutation_count = 0
 
         # the reference normalizes only the "Normalized*" metrics at insert
         # (ObjectSpaceRepository::setDistanceType, ObjectSpaceRepository.h:346-441)
@@ -167,6 +170,7 @@ class VectorStore:
         self._x[oid] = row
         self._valid[oid] = True
         self._dirty = True
+        self.mutation_count += 1
         return oid
 
     def batch_insert(self, vs: np.ndarray) -> np.ndarray:
@@ -186,6 +190,7 @@ class VectorStore:
         self._x[ids] = rows
         self._valid[ids] = True
         self._dirty = True
+        self.mutation_count += 1
         return ids
 
     def remove(self, oid: int) -> None:
@@ -195,6 +200,7 @@ class VectorStore:
         self._x[oid] = self._pad_value
         heapq.heappush(self._free, int(oid))
         self._dirty = True
+        self.mutation_count += 1
 
     def get(self, oid: int) -> np.ndarray:
         if not (0 < oid < self._size) or not self._valid[oid]:

@@ -193,3 +193,39 @@ def test_utils_probes_and_timer():
     assert t.time >= 0
     utils.disable_log()
     utils.enable_log()
+
+
+def test_cli_ngtq_family(cli_index, capsys, tmp_path):
+    """The ngtq command set (reference NGTQ/NGTQCommand.h:574-613):
+    create/append/search/info/validate/rebuild."""
+    _, qpath, data = cli_index
+    root = str(tmp_path)
+    dpath = os.path.join(root, "qdata.tsv")
+    np.savetxt(dpath, data, delimiter="\t", fmt="%.6f")
+    ipath = os.path.join(root, "nq")
+    rc = cli_main(["ngtq-create", "-d", "16", "-C", "32", ipath, dpath])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli_main(["ngtq-search", "-n", "5", "-p", "8", ipath, qpath])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Query No.1" in out
+    first = [l for l in out.splitlines() if l.startswith("1\t")][0]
+    assert first.split("\t")[1] == "1"
+    # append grows the index without retraining
+    rc = cli_main(["ngtq-append", ipath, dpath])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli_main(["ngtq-info", ipath])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "objects\t800" in out
+    rc = cli_main(["ngtq-validate", "-s", "128", ipath])
+    out = capsys.readouterr().out
+    assert rc == 0 and "valid" in out
+    rc = cli_main(["ngtq-rebuild", ipath])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli_main(["ngtq-search", "-n", "3", "-m", "e", ipath, qpath])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Query No.1" in out
