@@ -176,6 +176,12 @@ def graph_search(
     seed_idv = jnp.where(jnp.isinf(seed_d), -1, seed_ids)
 
     # ---- initial pool: seeds sorted ascending, padded to width W
+    if s > w:
+        # sort BEFORE truncating so the nearest seeds survive (an arbitrary
+        # first-w slice would drop nearer seeds when seed fan-in > width)
+        seed_d, seed_idv = jax.lax.sort(
+            (seed_d, seed_idv), dimension=1, num_keys=2
+        )
     pad = w - s if w > s else 0
     pool_d = jnp.concatenate([seed_d, jnp.full((b, pad), INF)], axis=1)[:, :w]
     pool_i = jnp.concatenate(

@@ -64,6 +64,7 @@ class Index:
         self.graph = GraphStore(max_edges=prop.max_edges)
         self.seeder = Seeder(prop.distance_type, seed_size=prop.seed_size)
         self._mirror: Optional[DeviceMirror] = None
+        self._qg = None  # lazily-built sq8 mirror (search_mode routing)
 
     # ------------------------------------------------------------- ids -----
     def _ext(self, internal: np.ndarray | int):
@@ -120,8 +121,13 @@ class Index:
         oid = self._int(external_id)
         if not self.store.contains(oid):
             raise KeyError(f"no such object id: {external_id}")
-        remove_object(self.store, self.graph, oid, self.store.metric)
-        self._mirror = None  # simple: rebuild mirror lazily after removal
+        touched = remove_object(self.store, self.graph, oid, self.store.metric)
+        if self._mirror is not None:
+            # incremental: scatter only the changed rows (a full HBM
+            # re-upload per removal makes a removal batch O(n·removals);
+            # the reference's delete path is likewise incremental,
+            # Graph.cpp:641-864)
+            self._mirror.update_rows(touched, touched)
 
     def get_object(self, external_id: int) -> np.ndarray:
         return self.store.get(self._int(external_id))
@@ -167,6 +173,47 @@ class Index:
         w = max(64, 2 * k, int(k * (1.0 + 8.0 * max(epsilon, 0.0))))
         return 1 << int(math.ceil(math.log2(w)))
 
+    def _maybe_qg(self):
+        """The maintained sq8 neighbor-block mirror for auto-routed searches
+        (the role NGTQG plays as the reference's production path,
+        NGTQ/QuantizedGraph.h:192-320).  Returns None when routing does not
+        apply; the mirror self-refreshes on store mutations (see
+        quant/qgraph.py _dev_codes/_dev_blocks version keys)."""
+        from ngt_tpu.graph.build import _SQ8_METRICS
+
+        mode = self.prop.search_mode
+        if mode == "exact" or self.store.sparse:
+            return None
+        if self.store.metric not in _SQ8_METRICS:
+            return None
+        n = self.graph.node_count()
+        if mode != "qg" and n < self.prop.search_qg_threshold:
+            return None
+        if n == 0:
+            return None
+        if self._qg is None:
+            from ngt_tpu.quant.qgraph import QuantizedGraphIndex
+
+            self._qg = QuantizedGraphIndex.quantize(self, mode="sq8")
+        return self._qg
+
+    def _resolve_edge_size(self, edge_size: int, epsilon: float) -> int:
+        """Per-search edge count (NeighborhoodGraph::getEdgeSize,
+        reference Graph.h:675-692): -1 = property default, 0 = unlimited,
+        >0 = explicit, -2 = dynamic ``base + 10^(ε·rate)`` (Graph.h:683-686,
+        where explorationCoefficient = 1 + ε)."""
+        if edge_size == -1:
+            return min(self.prop.edge_size_for_search, self.graph.e_max)
+        if edge_size == 0:
+            return self.graph.e_max
+        if edge_size == -2:
+            add = 10.0 ** (epsilon * float(self.prop.dynamic_edge_size_rate))
+            e = self.prop.dynamic_edge_size_base + int(min(add, 2**31 - 1))
+            return min(e, self.graph.e_max)
+        if edge_size > 0:
+            return min(int(edge_size), self.graph.e_max)
+        raise ValueError(f"invalid edge size: {edge_size}")
+
     def batch_search(
         self,
         queries,
@@ -194,6 +241,22 @@ class Index:
             epsilon = AccuracyTable.from_string(
                 self.prop.accuracy_table
             ).get_epsilon(expected_accuracy)
+        # auto-route through the sq8 neighbor-block mirror (opt-out via
+        # prop.search_mode="exact"): the quantized traversal + exact re-rank
+        # is 2-3x the exact path's throughput at equal recall at scale
+        if (
+            not with_stats
+            and edge_size == -1
+            and not np.isfinite(radius)
+            and expand == 0
+            and width == 0
+        ):
+            qg = self._maybe_qg()
+            if qg is not None:
+                return qg.batch_search(
+                    queries, size=size, epsilon=epsilon,
+                    result_expansion=self.prop.result_expansion,
+                )
         mirror = self._ensure_mirror()
         qdtype = np.int64 if self.store.sparse else np.float32
         q = self.store.prepare_queries(np.asarray(queries, dtype=qdtype))
@@ -204,21 +267,7 @@ class Index:
         if self.seeder.num_reps == 0 and self.graph.node_count() > 0:
             live = np.nonzero(self.graph._has_node)[0].astype(np.int32)
             self.seeder.refresh(live, self.store._x, default_reps(len(live)))
-        if edge_size in (-1, 0):
-            e = min(self.prop.edge_size_for_search, self.graph.e_max)
-        elif edge_size == -2:
-            # dynamic edge size (reference Graph.h:684-688):
-            # base + rate^(epsilon*10... ) — reference formula:
-            # edge = base * (rate ** (ε*10)) approximated; see optimizer
-            e = min(
-                int(
-                    self.prop.dynamic_edge_size_base
-                    * (self.prop.dynamic_edge_size_rate / 10.0) ** (epsilon * 10)
-                ),
-                self.graph.e_max,
-            )
-        else:
-            e = min(int(edge_size), self.graph.e_max)
+        e = self._resolve_edge_size(edge_size, epsilon)
         bits, exact = _wrap_hash_bits(mirror.capacity, self.prop.visited_bits_log2)
         rep_rows, rep_sq = self.seeder._rep_rows, self.seeder._rep_sq
         if mirror.sqnorm is None:
@@ -443,10 +492,12 @@ class Index:
         if len(rep):
             self.seeder.set_representatives(rep, self.store._x)
         self._mirror = None
+        self._qg = None
         self.path = path
 
     def close(self) -> None:
         self._mirror = None
+        self._qg = None
 
     @staticmethod
     def destroy(path: str) -> None:
@@ -455,24 +506,106 @@ class Index:
 
     # -------------------------------------------------------- text export ---
     def export_index(self, fh) -> None:
-        """Portable text export (Index::exportIndex, Index.h:703-715)."""
+        """Portable LOSSLESS text export: properties + objects + the graph
+        adjacency + seed representatives (the reference's exportIndex
+        round-trips obj/grp/tre as text, Index.h:703-715; a vectors-only
+        export would silently degrade an ONNG to a rebuilt ANNG on
+        import)."""
         n = self.store.repository_size
-        fh.write(f"# ngt_tpu export v{FORMAT_VERSION}\n")
+        fh.write("# ngt_tpu export v2\n")
         fh.write(json.dumps(self.prop.to_prf()) + "\n")
+        fh.write(f"# objects {n - 1}\n")
         for oid in range(1, n):
             if not self.store._valid[oid]:
                 fh.write("-\n")
                 continue
             v = self.store._x[oid, : self.store.dimension]
-            fh.write("+" + "\t".join(str(float(t)) for t in v) + "\n")
+            fh.write("+" + "\t".join(repr(float(t)) for t in v) + "\n")
+        fh.write(f"# graph {n - 1} {self.graph.e_max}\n")
+        nbr, dist, deg = (
+            self.graph.nbr_ids, self.graph.nbr_dist, self.graph.degree,
+        )
+        for oid in range(1, n):
+            if not self.graph._has_node[oid]:
+                fh.write("-\n")
+                continue
+            d = int(deg[oid])
+            fh.write(
+                "\t".join(
+                    f"{int(nbr[oid, j])}:{float(dist[oid, j])!r}"
+                    for j in range(d)
+                )
+                + "\n"
+            )
+        fh.write("# seeds\n")
+        fh.write(" ".join(str(int(r)) for r in self.seeder.rep_ids) + "\n")
 
     @classmethod
     def import_index(cls, fh, path: Optional[str] = None) -> "Index":
         header = fh.readline()
         if not header.startswith("# ngt_tpu export"):
             raise ValueError("not an ngt_tpu export stream")
+        v2 = header.strip().endswith("v2")
         prop = Property.from_prf(json.loads(fh.readline()))
         idx = cls(prop=prop)
+        if not v2:
+            return cls._import_v1(idx, fh, path)
+        line = fh.readline()
+        assert line.startswith("# objects"), "malformed export: objects"
+        n_obj = int(line.split()[2])
+        vecs, holes = [], []
+        for i in range(n_obj):
+            row = fh.readline().rstrip("\n")
+            if row.startswith("+"):
+                vecs.append((i, [float(t) for t in row[1:].split("\t")]))
+            else:
+                holes.append(i)
+        if vecs:
+            mat = np.zeros((n_obj, len(vecs[0][1])), np.float32)
+            for i, v in vecs:
+                mat[i] = v
+            # occupy every slot so line i <-> internal id i+1, then free the
+            # hole slots without graph surgery (they have no graph rows)
+            idx.store.batch_insert(mat)
+            for h in holes:
+                idx.store.remove(h + 1)
+        line = fh.readline()
+        assert line.startswith("# graph"), "malformed export: graph"
+        e_max = int(line.split()[3])
+        g = GraphStore(max_edges=e_max, capacity=max(n_obj + 1, 16))
+        for i in range(n_obj):
+            row = fh.readline().rstrip("\n")
+            oid = i + 1
+            if row == "-":
+                continue
+            if row:
+                pairs = [tok.split(":") for tok in row.split("\t")]
+                ids = np.array([int(p[0]) for p in pairs], np.int32)
+                ds = np.array([float(p[1]) for p in pairs], np.float32)
+            else:
+                ids = np.zeros((0,), np.int32)
+                ds = np.zeros((0,), np.float32)
+            d = len(ids)
+            g.nbr_ids[oid, :d] = ids
+            g.nbr_dist[oid, :d] = ds
+            g.degree[oid] = d
+            g._has_node[oid] = True
+        idx.graph = g
+        idx.graph.ensure_capacity(idx.store._x.shape[0])
+        line = fh.readline()
+        if line.startswith("# seeds"):
+            toks = fh.readline().split()
+            if toks:
+                idx.seeder.set_representatives(
+                    np.array([int(t) for t in toks], np.int32), idx.store._x
+                )
+        if path:
+            idx.save(path)
+        return idx
+
+    @staticmethod
+    def _import_v1(idx: "Index", fh, path: Optional[str]) -> "Index":
+        """Legacy vectors-only stream: rebuild the graph (round-1 format)."""
         vecs, holes = [], []
         for i, line in enumerate(fh):
             line = line.rstrip("\n")
@@ -483,9 +616,6 @@ class Index:
             else:
                 holes.append(i)
         if vecs:
-            # ids must round-trip (line i <-> internal id i+1, like the
-            # reference's text import; Index.h:716-727): fill hole slots
-            # with a placeholder row, then remove them after the build
             mat = np.zeros((len(vecs) + len(holes), len(vecs[0][1])),
                            np.float32)
             mat[:] = vecs[0][1]

@@ -51,6 +51,14 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
             ]
+            lib.constrained_reverse.restype = ctypes.c_int64
+            lib.constrained_reverse.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_float),
+            ]
             lib.merge_edges.restype = None
             lib.merge_edges.argtypes = [
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
@@ -123,14 +131,77 @@ def connected_components(
     src, dst = src[ok], dst[ok]
     a = np.concatenate([src, dst])
     b = np.concatenate([dst, src])
-    for _ in range(10 * int(np.ceil(np.log2(max(n, 2)))) + 8):
+    # hooking + shortcutting to fixpoint: edge propagation alone needs up to
+    # diameter rounds (a chain graph has diameter n-1, so a fixed sublinear
+    # bound leaves components overcounted); pointer jumping (labels[v] :=
+    # labels[labels[v]]) makes the combination converge in O(log n) rounds,
+    # and the n+1 cap is a true upper bound either way
+    live_mask = labels >= 0
+    for _ in range(n + 1):
         new = labels.copy()
         np.minimum.at(new, a, labels[b])
+        jumped = np.where(live_mask, new[np.clip(new, 0, n - 1)], -1)
+        new = np.where(live_mask, np.minimum(new, jumped), -1)
         if (new == labels).all():
             break
         labels = new
     live = labels[has_node]
     return labels.astype(np.int32), int(len(np.unique(live)))
+
+
+def constrained_reverse(
+    nbr_ids: np.ndarray, nbr_dist: np.ndarray, degree: np.ndarray,
+    out_edges: int, in_edges: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Constrained reverse-edge selection (the serial core of
+    reconstructGraphWithConstraint, reference GraphReconstructor.h:565-715).
+    Returns selected (rid, src, dist) triples."""
+    n, e_w = nbr_ids.shape
+    lib = _load()
+    if lib is not None:
+        nbr_c = np.ascontiguousarray(nbr_ids, np.int32)
+        dist_c = np.ascontiguousarray(nbr_dist, np.float32)
+        deg_c = np.ascontiguousarray(degree, np.int32)
+        cap = int(degree.sum())
+        out_rid = np.empty(max(cap, 1), np.int32)
+        out_src = np.empty(max(cap, 1), np.int32)
+        out_d = np.empty(max(cap, 1), np.float32)
+        m = lib.constrained_reverse(
+            nbr_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            dist_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            deg_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            np.int64(n), np.int64(e_w),
+            np.int64(out_edges), np.int64(in_edges),
+            out_rid.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_d.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out_rid[:m], out_src[:m], out_d[:m]
+    # pure-python fallback (same algorithm; fine at test scale)
+    rev: dict[int, list[tuple[int, float]]] = {}
+    for u in range(n):
+        for j in range(int(degree[u])):
+            t = int(nbr_ids[u, j])
+            if 0 <= t < n:
+                rev.setdefault(t, []).append((u, float(nbr_dist[u, j])))
+    indeg = np.zeros(n, np.int64)
+    outdeg = np.zeros(n, np.int64)
+    rid_o, src_o, d_o = [], [], []
+    for rid in sorted(rev, key=lambda t: (len(rev[t]), t)):
+        for s, dd in rev[rid]:
+            if indeg[s] >= in_edges:
+                continue
+            if indeg[s] > 0 and outdeg[rid] >= out_edges:
+                continue
+            rid_o.append(rid)
+            src_o.append(s)
+            d_o.append(dd)
+            indeg[s] += 1
+            outdeg[rid] += 1
+    return (
+        np.asarray(rid_o, np.int32), np.asarray(src_o, np.int32),
+        np.asarray(d_o, np.float32),
+    )
 
 
 def merge_edges(

@@ -51,6 +51,9 @@ long tsv_parse(const char *path, float *out, long max_rows, long dim) {
       while (*p == '\t' || *p == ' ' || *p == ',') ++p;
       if (*p == '\n' || *p == '\0') break;
     }
+    if (col == 0) continue;  // no parseable numbers (e.g. a header line):
+                             // ignore like ObjectRepository::appendText
+                             // rather than inserting a zero vector
     for (; col < dim; ++col) dst[col] = 0.0f;
     ++rows;
   }
@@ -137,6 +140,63 @@ void merge_edges(int32_t *nbr_ids, float *nbr_dist, int32_t *degree,
       has_node[t] = 1;
     }
   }
+}
+
+// Constrained reverse-edge selection — the serial core of
+// reconstructGraphWithConstraint (reference GraphReconstructor.h:565-715):
+// process reverse lists smallest-first; add reversed edge (rid -> src)
+// unless src already received `in_edges` reversed edges, or rid's row is
+// full (`out_edges`) and src already has at least one.  Emits the selected
+// (rid, src, dist) triples; returns the count (<= total input edges).
+int64_t constrained_reverse(const int32_t *nbr, const float *dist,
+                            const int32_t *deg, int64_t n, int64_t e_w,
+                            int64_t out_edges, int64_t in_edges,
+                            int32_t *out_rid, int32_t *out_src,
+                            float *out_d) {
+  // reverse CSR: rev[t] = list of (src, d) for edges src -> t, src ascending
+  std::vector<int64_t> rcount(n, 0);
+  for (int64_t u = 0; u < n; ++u)
+    for (int64_t j = 0; j < deg[u]; ++j) {
+      const int32_t t = nbr[u * e_w + j];
+      if (t >= 0 && t < n) ++rcount[t];
+    }
+  std::vector<int64_t> rstart(n + 1, 0);
+  for (int64_t t = 0; t < n; ++t) rstart[t + 1] = rstart[t] + rcount[t];
+  std::vector<int32_t> rsrc(rstart[n]);
+  std::vector<float> rd(rstart[n]);
+  std::vector<int64_t> fill(rstart.begin(), rstart.end() - 1);
+  for (int64_t u = 0; u < n; ++u)  // ascending u preserves the reference's
+    for (int64_t j = 0; j < deg[u]; ++j) {  // push order (id-major)
+      const int32_t t = nbr[u * e_w + j];
+      if (t < 0 || t >= n) continue;
+      rsrc[fill[t]] = static_cast<int32_t>(u);
+      rd[fill[t]] = dist[u * e_w + j];
+      ++fill[t];
+    }
+  // rids by increasing reverse-list size (stable: ties by id)
+  std::vector<int32_t> order;
+  order.reserve(n);
+  for (int64_t t = 0; t < n; ++t)
+    if (rcount[t] > 0) order.push_back(static_cast<int32_t>(t));
+  std::stable_sort(order.begin(), order.end(), [&](int32_t a, int32_t b) {
+    return rcount[a] < rcount[b];
+  });
+  std::vector<int32_t> indeg(n, 0), outdeg(n, 0);
+  int64_t m = 0;
+  for (const int32_t rid : order) {
+    for (int64_t p = rstart[rid]; p < rstart[rid] + rcount[rid]; ++p) {
+      const int32_t s = rsrc[p];
+      if (indeg[s] >= in_edges) continue;
+      if (indeg[s] > 0 && outdeg[rid] >= out_edges) continue;
+      out_rid[m] = rid;
+      out_src[m] = s;
+      out_d[m] = rd[p];
+      ++m;
+      ++indeg[s];
+      ++outdeg[rid];
+    }
+  }
+  return m;
 }
 
 // Connected components of the (undirected view of the) adjacency.

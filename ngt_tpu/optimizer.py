@@ -198,18 +198,131 @@ def adjust_edge_size(
     gt_ids, _ = index.batch_linear_search(queries, size=k)
     best = None
     for e in candidates:
+        # 0 = unlimited (all stored edges; reference Graph.h:679-680) — pass
+        # it through so the tier is actually measured, not silently mapped
+        # to the current property default
         pts = evaluate(
             index, queries, np.asarray(gt_ids),
-            epsilons=(0.05, 0.1), k=k, edge_size=e if e > 0 else -1,
+            epsilons=(0.05, 0.1), k=k, edge_size=e,
         )
         ok = [p for p in pts if p.recall >= target_accuracy]
         score = max((p.qps for p in ok), default=0.0)
         if best is None or score > best[1]:
             best = (e, score)
     e = best[0]
-    if e > 0:
-        index.prop.edge_size_for_search = e
+    index.prop.edge_size_for_search = e if e > 0 else index.graph.e_max
     return e
+
+
+def _measure_dynamic_time(
+    index, queries, gt_ids, k, accuracy_range, eps_grid, cache,
+) -> float:
+    """Mean batched query time at the current (base, rate) dynamic edge
+    size, at the cheapest ε whose recall lands in ``accuracy_range``
+    (the role of Optimizer::measure under edgeSize=-2; Optimizer.h:658-686).
+    Returns +inf when no ε reaches the accuracy floor."""
+    key = (index.prop.dynamic_edge_size_base, index.prop.dynamic_edge_size_rate)
+    if key in cache:
+        return cache[key]
+    lo, hi = accuracy_range
+    best = np.inf
+    for eps in eps_grid:
+        ids, _ = index.batch_search(queries, size=k, epsilon=eps, edge_size=-2)
+        rec = recall_at_k(np.asarray(ids), np.asarray(gt_ids), k)
+        if rec < lo:
+            continue
+        t0 = time.time()
+        for _ in range(2):
+            index.batch_search(queries, size=k, epsilon=eps, edge_size=-2)
+        best = (time.time() - t0) / 2
+        break  # smallest adequate ε is the operating point
+    cache[key] = best
+    return best
+
+
+def _descent_1d(measure_at, start, minimum, limit=1000):
+    """Shrinking-step 1-D descent on measured time (the inner loop of
+    adjustBase/RateSearchEdgeSize, reference Optimizer.h:688-870): walk up
+    from ``start`` in steps 16→8→4→2 until time stops improving."""
+    best_v, best_t = 0, np.inf
+    vstart = max(start, minimum)
+    for step in (16, 8, 4, 2):
+        prev_t = np.inf
+        v = vstart
+        while v <= limit:
+            t = measure_at(v)
+            if prev_t <= t:
+                vstart = best_v - step if best_v - step >= vstart else vstart
+                break
+            prev_t = t
+            if t < best_t:
+                best_t, best_v = t, v
+            v += step
+    return best_v, best_t
+
+
+def adjust_search_edge_size(
+    index,
+    queries: np.ndarray | None = None,
+    k: int = 10,
+    base_accuracy_range=(0.30, 0.50),
+    rate_accuracy_range=(0.80, 0.90),
+    n_queries: int = 100,
+    eps_grid=(0.0, 0.02, 0.05, 0.1, 0.2, 0.4, 0.8),
+) -> tuple[int, int]:
+    """Coordinate descent on the dynamic edge-size (base, rate) pair by
+    measured query time, with cycle detection (reference
+    Optimizer::adjustSearchEdgeSize, Optimizer.h:874-944: alternate
+    adjustBaseSearchEdgeSize / adjustRateSearchEdgeSize until fixpoint,
+    falling back to the fastest visited pair on a loop).  Persists the
+    result to prop.dynamic_edge_size_base/rate so edge_size=-2 searches
+    use the tuned values."""
+    if queries is None:
+        queries = extract_queries(index, n_queries)
+    gt_ids, _ = index.batch_linear_search(queries, size=k)
+    prop = index.prop
+
+    base_cache: dict = {}
+    rate_cache: dict = {}
+
+    def measure_base(v):
+        prop.dynamic_edge_size_base = int(v)
+        return _measure_dynamic_time(
+            index, queries, gt_ids, k, base_accuracy_range, eps_grid,
+            base_cache,
+        )
+
+    def measure_rate(v):
+        prop.dynamic_edge_size_rate = int(v)
+        return _measure_dynamic_time(
+            index, queries, gt_ids, k, rate_accuracy_range, eps_grid,
+            rate_cache,
+        )
+
+    base, rate = (0, np.inf), (20, np.inf)
+    history: dict[tuple[int, int], float] = {}
+    for _ in range(8):
+        prop.dynamic_edge_size_rate = rate[0]
+        base_cache.clear()
+        prev_base, base = base, _descent_1d(measure_base, base[0] // 2, 4)
+        if prev_base[0] == base[0]:
+            break
+        prop.dynamic_edge_size_base = base[0]
+        rate_cache.clear()
+        prev_rate, rate = rate, _descent_1d(measure_rate, rate[0] // 2, 2)
+        if prev_rate[0] == rate[0]:
+            break
+        key = (base[0], rate[0])
+        if key in history:  # infinite loop — fastest visited pair wins
+            best = min(history.items(), key=lambda kv: kv[1])[0]
+            base, rate = (best[0], history[best]), (best[1], history[best])
+            break
+        history[key] = rate[1]
+    if base[0] > 0:
+        prop.dynamic_edge_size_base = int(base[0])
+    if rate[0] > 0:
+        prop.dynamic_edge_size_rate = int(rate[0])
+    return prop.dynamic_edge_size_base, prop.dynamic_edge_size_rate
 
 
 def optimize_number_of_edges(

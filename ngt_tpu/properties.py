@@ -161,6 +161,18 @@ class Property:
     #: incremental batched search for appends; "incremental" forces the
     #: reference-style growth; "bulk" forces the matmul path
     build_algorithm: str = "auto"
+    #: query routing: "auto" = route batch_search through a maintained sq8
+    #: neighbor-block mirror above search_qg_threshold objects (the
+    #: production path, ~2-3x exact at 1M — the role NGTQG plays for the
+    #: reference, NGTQ/QuantizedGraph.h:192-320); "exact" = always traverse
+    #: f32 rows; "qg" = always route (when the metric allows)
+    search_mode: str = "auto"
+    #: minimum indexed objects before "auto" builds the sq8 mirror (small
+    #: indexes gain little and pay the block HBM)
+    search_qg_threshold: int = 50_000
+    #: result-expansion factor for the routed sq8 search (the reference's
+    #: resultExpansion default 3.0, bin/ngtqg/README.md:62-69)
+    result_expansion: float = 3.0
 
     # -- NGT prf key mapping (reference Index.h:105-190, Graph.h:423-489) --
     _PRF_KEYS = {
@@ -200,6 +212,9 @@ class Property:
         "SearchExpand": ("search_expand", int),
         "BuildMode": ("build_mode", str),
         "BuildAlgorithm": ("build_algorithm", str),
+        "SearchMode": ("search_mode", str),
+        "SearchQgThreshold": ("search_qg_threshold", int),
+        "ResultExpansion": ("result_expansion", float),
     }
 
     _ENUM_FIELDS = {

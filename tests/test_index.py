@@ -174,6 +174,42 @@ def test_export_import(tmp_path, rng):
     assert idx2.search(q, size=1)[0][0] == 10
 
 
+def test_export_import_lossless(rng):
+    """The text stream round-trips the GRAPH, not just vectors: identical
+    adjacency, verify(), statistics() and search results (reference
+    exportIndex/importIndex semantics, Index.h:703-727) — an ONNG must not
+    silently degrade to a rebuilt ANNG on import."""
+    import io
+    from ngt_tpu.optimizer import GraphOptimizer
+
+    data = rng.normal(size=(400, 12)).astype(np.float32)
+    idx = _build(data)
+    idx.remove(37)  # holes must round-trip too
+    GraphOptimizer(out_edges=8, in_edges=24, tune_parameters=False).execute(idx)
+    buf = io.StringIO()
+    idx.export_index(buf)
+    buf.seek(0)
+    idx2 = ngt_tpu.Index.import_index(buf)
+    n = idx.store.repository_size
+    assert idx2.store.repository_size == n
+    np.testing.assert_array_equal(
+        idx.graph.nbr_ids[:n], idx2.graph.nbr_ids[:n]
+    )
+    np.testing.assert_allclose(
+        idx.graph.nbr_dist[:n], idx2.graph.nbr_dist[:n], rtol=1e-6
+    )
+    np.testing.assert_array_equal(idx.graph.degree[:n], idx2.graph.degree[:n])
+    assert idx2.verify() == idx.verify() == []
+    assert idx2.statistics() == idx.statistics()
+    assert idx2.prop.graph_type == idx.prop.graph_type
+    q = rng.normal(size=(16, 12)).astype(np.float32)
+    ids1, d1 = idx.batch_search(q, size=10, epsilon=0.1)
+    ids2, d2 = idx2.batch_search(q, size=10, epsilon=0.1)
+    np.testing.assert_array_equal(np.asarray(ids1), np.asarray(ids2))
+    with pytest.raises(KeyError):
+        idx2.get_object(37)
+
+
 def test_knng_build_exact(rng):
     """KNNG graph type: every node's edges are its exact k nearest
     (insertKNNGNode; Graph.h:577-609), no reverse edges."""

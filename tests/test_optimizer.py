@@ -94,6 +94,48 @@ def test_optimize_number_of_edges(rng):
     assert out["target_size"] == 6000
 
 
+def test_dynamic_edge_size_formula(built_index):
+    """edge_size=-2 resolves to base + 10^(ε·rate), clamped to e_max
+    (reference Graph.h:683-686)."""
+    idx, _ = built_index
+    idx.prop.dynamic_edge_size_base = 30
+    idx.prop.dynamic_edge_size_rate = 20
+    assert idx._resolve_edge_size(-2, 0.0) == min(31, idx.graph.e_max)
+    # ε=0.1, rate=20 -> 30 + 10^2 = 130 (the reference's default op point)
+    assert idx._resolve_edge_size(-2, 0.1) == min(130, idx.graph.e_max)
+    idx.prop.dynamic_edge_size_rate = 10
+    assert idx._resolve_edge_size(-2, 0.1) == min(40, idx.graph.e_max)
+    # 0 = unlimited (Graph.h:679-680), -1 = property default
+    assert idx._resolve_edge_size(0, 0.1) == idx.graph.e_max
+    assert idx._resolve_edge_size(-1, 0.1) == min(
+        idx.prop.edge_size_for_search, idx.graph.e_max
+    )
+    with pytest.raises(ValueError):
+        idx._resolve_edge_size(-3, 0.1)
+    # searchable end-to-end with the dynamic size
+    _, d = idx.batch_search(
+        np.zeros((1, 16), np.float32), size=5, epsilon=0.1, edge_size=-2
+    )
+    assert np.isfinite(d).all()
+
+
+def test_adjust_search_edge_size(rng):
+    """Coordinate descent converges and persists tuned base/rate."""
+    data = rng.normal(size=(800, 12)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=12)
+    idx.batch_insert(data, build=True)
+    q = rng.normal(size=(32, 12)).astype(np.float32)
+    base, rate = O.adjust_search_edge_size(
+        idx, queries=q, k=10, eps_grid=(0.05, 0.2),
+        base_accuracy_range=(0.3, 0.6), rate_accuracy_range=(0.6, 0.9),
+    )
+    assert base >= 4 and rate >= 2
+    assert idx.prop.dynamic_edge_size_base == base
+    assert idx.prop.dynamic_edge_size_rate == rate
+    ids, _ = idx.batch_search(q, size=10, epsilon=0.1, edge_size=-2)
+    assert (np.asarray(ids) >= 0).any()
+
+
 def test_statistics(built_index):
     idx, _ = built_index
     st = idx.statistics()

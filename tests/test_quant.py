@@ -144,6 +144,45 @@ def test_quantized_graph_single_and_persist(qg_setup, tmp_path):
     assert res2[0][0] == 77
 
 
+def test_pack_codes4_roundtrip(rng):
+    from ngt_tpu.quant.pq import pack_codes4, unpack_codes4
+
+    for m in (8, 9, 64):
+        codes = rng.integers(0, 16, size=(37, m)).astype(np.uint8)
+        packed = pack_codes4(codes)
+        assert packed.shape == (37, (m + 1) // 2)
+        np.testing.assert_array_equal(unpack_codes4(packed, m), codes)
+
+
+def test_search_mode_auto_routing(rng):
+    """Index.batch_search auto-routes through the sq8 mirror (search_mode),
+    keeping recall, and the mirror tracks post-quantize inserts."""
+    data = rng.normal(size=(1200, 24)).astype(np.float32)
+    queries = rng.normal(size=(32, 24)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=24, search_mode="qg")
+    idx.batch_insert(data, build=True)
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+    ids, dists = idx.batch_search(queries, size=10, epsilon=0.1)
+    assert idx._qg is not None, "routing did not build the sq8 mirror"
+    rec = recall_at_k(np.asarray(ids), np.asarray(gt_ids), 10)
+    assert rec >= 0.9, f"routed recall {rec}"
+    # distances are exact (re-ranked), not quantized
+    j = int(np.asarray(ids)[0, 0])
+    want = float(np.linalg.norm(queries[0] - data[j]))
+    np.testing.assert_allclose(float(dists[0, 0]), want, rtol=1e-3)
+    # post-quantize insert: codes must refresh, not stay zero
+    new = rng.normal(size=(24,)).astype(np.float32) * 0.01
+    nid = idx.insert(new)
+    idx.build_index()
+    res = idx.search(new, size=3, epsilon=0.1)
+    assert res[0][0] == nid
+    # opt-out returns the exact path
+    idx.prop.search_mode = "exact"
+    ids2, _ = idx.batch_search(queries, size=10, epsilon=0.1)
+    rec2 = recall_at_k(np.asarray(ids2), np.asarray(gt_ids), 10)
+    assert rec2 >= 0.9
+
+
 # ---------------------------------------------------------------- IVF+PQ ----
 
 
@@ -172,7 +211,7 @@ def test_ivfpq_recall(ivf_setup):
     assert ivf.verify() == []
     full = np.linalg.norm(queries[:, None, :] - data[None, :, :], axis=-1)
     gt = np.argsort(full, axis=1)[:, :10]
-    ids, dists = ivf.batch_search(queries, size=10, nprobe=16, refine=True)
+    ids, dists = ivf.batch_search(queries, size=10, nprobe=16, mode="refine")
     rec = recall_at_k(ids, gt, 10)
     assert rec >= 0.9, f"IVF+PQ recall {rec}"
     # refined distances are exact
@@ -191,10 +230,68 @@ def test_ivfpq_nprobe_tradeoff(ivf_setup):
 
 def test_ivfpq_approx_mode(ivf_setup):
     ivf, data, queries = ivf_setup
-    ids, dists = ivf.batch_search(queries, size=10, nprobe=16, refine=False)
+    ids, dists = ivf.batch_search(queries, size=10, nprobe=16, mode="approx")
     full = np.linalg.norm(queries[:, None, :] - data[None, :, :], axis=-1)
     gt = np.argsort(full, axis=1)[:, :10]
     assert recall_at_k(ids, gt, 10) >= 0.7  # approximate-only mode
+
+
+def test_ivfpq_aggregation_modes(ivf_setup):
+    """The reference's AggregationModes (Quantizer.h:2266-2549): exact
+    scores every probed record; refine >= approx; lut/cached-lut coincide
+    with approx on TPU by construction."""
+    ivf, data, queries = ivf_setup
+    full = np.linalg.norm(queries[:, None, :] - data[None, :, :], axis=-1)
+    gt = np.argsort(full, axis=1)[:, :10]
+    recs = {}
+    for mode in ("approx", "lut", "cached-lut", "refine", "exact"):
+        ids, dists = ivf.batch_search(queries, size=10, nprobe=16, mode=mode)
+        recs[mode] = recall_at_k(ids, gt, 10)
+    assert recs["lut"] == recs["approx"] == recs["cached-lut"]
+    assert recs["refine"] >= recs["approx"]
+    assert recs["exact"] >= recs["refine"] - 0.01
+    # exact mode distances are true metric distances
+    ids, dists = ivf.batch_search(queries, size=10, nprobe=16, mode="exact")
+    np.testing.assert_allclose(dists[0, 0], full[0, ids[0, 0]], rtol=1e-3)
+
+
+def test_ivfpq_incremental_insert(ivf_setup):
+    """Insert after build() assigns to EXISTING centroids without retrain
+    (Quantizer.h:1895-1959); rebuild() retrains at capacity."""
+    from ngt_tpu.quant.ivfpq import IVFPQIndex
+
+    rng = np.random.default_rng(31)
+    data = rng.normal(size=(2000, 24)).astype(np.float32) * 2
+    ivf = IVFPQIndex(24, n_centroids=32, rebuild_factor=2.0)
+    ivf.batch_insert(data)
+    ivf.build()
+    cents_before = ivf.centroids.copy()
+    extra = rng.normal(size=(500, 24)).astype(np.float32) * 2
+    ivf.batch_insert(extra)
+    assert ivf.size == 2500
+    # no retrain happened
+    np.testing.assert_array_equal(ivf.centroids, cents_before)
+    assert not ivf.needs_rebuild()
+    assert ivf.verify() == []
+    # the new objects are findable
+    ids, _ = ivf.batch_search(extra[:8], size=1, nprobe=8)
+    assert (ids[:, 0] >= 2000).mean() >= 0.9
+    # growth past rebuild_factor flags a rebuild; rebuild() retrains
+    ivf.batch_insert(rng.normal(size=(2000, 24)).astype(np.float32) * 2)
+    assert ivf.needs_rebuild()
+    ivf.rebuild()
+    assert not ivf.needs_rebuild()
+    assert ivf.verify() == []
+    assert ivf.size == 4500
+
+
+def test_ivfpq_memory_and_audit(ivf_setup):
+    ivf, data, queries = ivf_setup
+    rep = ivf.memory_report()
+    # packed 4-bit codes: half a byte per subspace code
+    assert rep["codes_bytes"] == ivf.size * ((ivf.pq.m + 1) // 2)
+    audit = ivf.quantization_error(sample=256)
+    assert 0 < audit["relative_error"] < 0.5
 
 
 def test_ivfpq_persist(ivf_setup, tmp_path):
