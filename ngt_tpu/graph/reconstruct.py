@@ -135,6 +135,53 @@ def reconstruct_graph(
     return out
 
 
+def reconstruct_graph_with_constraint(
+    graph: GraphStore, n: int, out_edges: int, in_edges: int,
+    mode: str = "a", e_max: int | None = None,
+) -> GraphStore:
+    """Indegree-balanced ONNG variant (reference
+    reconstructGraphWithConstraint, GraphReconstructor.h:565-715):
+
+    1. reversed edges are selected processing reverse lists smallest-first,
+       capping each target at ``in_edges`` reversed edges and each source
+       row at ``out_edges`` (except a target's FIRST edge always lands, so
+       no node is orphaned) — the serial selection runs in the native lib;
+    2. forward edges then fill each row up to ``out_edges``
+       (mode 'a'; mode 'c' always adds the first ``out_edges`` originals);
+    3. rows are sorted + deduped.
+    """
+    from ngt_tpu import native
+
+    if e_max is None:
+        e_max = ((out_edges + in_edges + 7) // 8) * 8
+    deg = graph.degree[:n]
+    nbr = graph.nbr_ids[:n]
+    dist = graph.nbr_dist[:n]
+    rid, src, rd = native.constrained_reverse(
+        nbr, dist, deg, out_edges, in_edges
+    )
+    outdeg = np.bincount(rid, minlength=n)
+
+    col = np.arange(nbr.shape[1])[None, :]
+    if mode == "a":
+        room = np.maximum(out_edges - outdeg, 0)
+        fw_keep = col < np.minimum(deg, room)[:, None]
+    else:  # 'c'
+        fw_keep = col < np.minimum(deg, out_edges)[:, None]
+    src_f = np.repeat(np.arange(n, dtype=np.int64), fw_keep.sum(axis=1))
+    dst_f = nbr[fw_keep]
+    d_f = dist[fw_keep]
+
+    ps = np.concatenate([rid.astype(np.int64), src_f])
+    pt = np.concatenate([src.astype(np.int32), dst_f.astype(np.int32)])
+    pd = np.concatenate([rd, d_f])
+    nbr2, dist2, deg2 = _normalize_rows(ps, pt, pd, n, e_max)
+    out = GraphStore(max_edges=e_max, capacity=max(n, 16))
+    out.nbr_ids[:n], out.nbr_dist[:n], out.degree[:n] = nbr2, dist2, deg2
+    out._has_node[:n] = graph._has_node[:n]
+    return out
+
+
 # --------------------------------------------------------------------------
 # shortcut reduction (path adjustment)
 # --------------------------------------------------------------------------
@@ -183,16 +230,21 @@ def adjust_paths(
 
     # phase 1: candidate detection, blocked over nodes, on device.
     # the detection tensor is [block, e, e, e] bools — cap the block so it
-    # stays under ~1 GiB at high degree
+    # stays under ~1 GiB at high degree.  The host-side candidate tensor is
+    # BIT-PACKED along the w axis ([u, v_rank, w_rank//8] uint8): an
+    # unpacked [n, e, e] bool is ~17 GB at 1M nodes / ONNG-typical e=130,
+    # packed it is ~2.1 GB (the OpenMP reference builds per-node vectors
+    # instead; adjustPathsEffectively, GraphReconstructor.h:197-386)
     block = max(16, min(block, (1 << 30) // max(e * e * e, 1)))
-    cand = np.zeros((n, e, e), bool)  # [u, v_rank, w_rank]
+    cand_bits = np.zeros((n, e, (e + 7) // 8), np.uint8)
     for s in range(0, n, block):
         t = min(s + block, n)
         blk_n = jnp.asarray(nbr[s:t])
         blk_d = jnp.asarray(dist[s:t])
-        cand[s:t] = np.asarray(
+        hit = np.asarray(
             _detect_shortcuts_block(blk_n, blk_d, nbr_dev, dist_dev, e)
         )
+        cand_bits[s:t] = np.packbits(hit, axis=2)
 
     # phase 2: rank-ordered re-insertion (vectorized per rank).
     # kept[u, r] - whether u's rank-r edge survives.
@@ -210,7 +262,9 @@ def adjust_paths(
         # does a kept 2-hop path exist? v must be an already-kept edge of u
         # (ranks < r, kept) and v's edge to w must be kept as well
         drop = np.zeros(n, bool)
-        us, vr = np.nonzero(cand[:, :, r])
+        # unpack the w-axis bit for rank r (packbits is big-endian per byte)
+        bit_r = (cand_bits[:, :, r >> 3] >> (7 - (r & 7))) & 1
+        us, vr = np.nonzero(bit_r)
         if len(us):
             mask = kept[us, vr]  # u->v kept
             us2, vr2 = us[mask], vr[mask]
@@ -251,6 +305,7 @@ def refine_anng(index, epsilon: float = 0.1, num_edges: int = 0) -> None:
 
     new_i = np.full((n, k), -1, np.int32)
     new_d = np.full((n, k), INF, np.float32)
+    cols = np.arange(k)[None, :]
     for s in range(0, len(live), batch):
         chunk = live[s : s + batch]
         ids, dists = index.batch_search(
@@ -259,12 +314,17 @@ def refine_anng(index, epsilon: float = 0.1, num_edges: int = 0) -> None:
             epsilon=epsilon,
         )
         ids = np.where(ids >= 0, ids + (1 if index.zero_based else 0), -1)
-        for row, oid in enumerate(chunk):
-            sel = ids[row][ids[row] != oid]
-            seld = dists[row][ids[row] != oid]
-            m = min(len(sel), k)
-            new_i[oid, :m] = sel[:m]
-            new_d[oid, :m] = seld[:m]
+        # vectorized self-exclusion: stable-sort non-self entries to the
+        # front of each row, then truncate to k (order is preserved)
+        keep = (ids != chunk[:, None]) & (ids >= 0)
+        order = np.argsort(~keep, axis=1, kind="stable")[:, :k]
+        sel = np.take_along_axis(ids, order, axis=1)
+        seld = np.take_along_axis(dists, order, axis=1).astype(np.float32)
+        cnt = keep.sum(axis=1, keepdims=True)
+        sel = np.where(cols < cnt, sel, -1)
+        seld = np.where(cols < cnt, seld, INF)
+        new_i[chunk] = sel
+        new_d[chunk] = seld
 
     src, col = np.nonzero(new_i >= 0)
     ps = src.astype(np.int64)

@@ -134,3 +134,53 @@ def test_refine_anng_recovers_recall(rng):
     assert refined >= degraded
     assert refined >= 0.9, f"refined recall {refined}"
     assert idx.verify() == []
+
+
+def test_reconstruct_with_constraint(rng):
+    """Indegree-balanced reconstruction (GraphReconstructor.h:565-715):
+    native and python selections agree; the reversed-edge indegree cap
+    holds; the graph stays searchable at good recall."""
+    import ngt_tpu
+    from ngt_tpu import native
+    from ngt_tpu.graph import reconstruct as R
+    from ngt_tpu.ops.bruteforce import recall_at_k
+
+    data = rng.normal(size=(800, 12)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=12, edge_size_for_creation=16)
+    idx.batch_insert(data, build=True)
+    n = idx.store.repository_size
+    g = idx.graph
+    out_e, in_e = 8, 24
+
+    rid, src, rd = native.constrained_reverse(
+        g.nbr_ids[:n], g.nbr_dist[:n], g.degree[:n], out_e, in_e
+    )
+    # the in_edges cap holds on selected reversed edges
+    assert np.bincount(src, minlength=n).max() <= in_e
+    # python fallback agrees with the native path exactly
+    if native.available():
+        lib_backup = native._lib
+        native._lib = None
+        try:
+            rid2, src2, rd2 = native.constrained_reverse(
+                g.nbr_ids[:n], g.nbr_dist[:n], g.degree[:n], out_e, in_e
+            )
+        finally:
+            native._lib = lib_backup
+        np.testing.assert_array_equal(rid, rid2)
+        np.testing.assert_array_equal(src, src2)
+
+    onng = R.reconstruct_graph_with_constraint(g, n, out_e, in_e)
+    idx.graph = onng
+    idx.prop.max_edges = onng.e_max
+    idx._mirror = None
+    idx.optimize_seeds()
+    assert idx.verify() == []
+    queries = rng.normal(size=(32, 12)).astype(np.float32)
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+    ids, _ = idx.batch_search(queries, size=10, epsilon=0.15)
+    rec = recall_at_k(np.asarray(ids), np.asarray(gt_ids), 10)
+    assert rec >= 0.85, f"constrained-ONNG recall {rec}"
+    # indegree is balanced vs the unconstrained reconstruction
+    stats = idx.statistics()
+    assert stats["indegree"]["zero"] == 0
