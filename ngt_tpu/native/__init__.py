@@ -79,6 +79,35 @@ def available() -> bool:
     return _load() is not None
 
 
+_CAPI_SRC = os.path.join(_DIR, "src", "ngt_tpu_capi.c")
+_CAPI_SO = os.path.join(_DIR, "src", "libngt_tpu_c.so")
+
+
+def build_capi() -> str:
+    """Build the C-ABI shared library (the analogue of the reference's C
+    API, lib/NGT/Capi.h:60-212; see ngt_tpu_capi.c).  Returns the .so
+    path.  The library embeds CPython, so C programs link it plus
+    libpython."""
+    import sysconfig
+
+    if os.path.exists(_CAPI_SO) and (
+        os.path.getmtime(_CAPI_SO) >= os.path.getmtime(_CAPI_SRC)
+    ):
+        return _CAPI_SO
+    inc = sysconfig.get_paths()["include"]
+    libdir = sysconfig.get_config_var("LIBDIR") or ""
+    ver = sysconfig.get_config_var("LDVERSION") or sysconfig.get_config_var(
+        "VERSION"
+    )
+    cmd = [
+        "g++", "-O2", "-shared", "-fPIC", "-o", _CAPI_SO, _CAPI_SRC,
+        f"-I{inc}", f"-L{libdir}", f"-lpython{ver}",
+        f"-Wl,-rpath,{libdir}",
+    ]
+    subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+    return _CAPI_SO
+
+
 def parse_tsv(path: str, dimension: int) -> np.ndarray:
     """Bulk TSV float ingestion; extra columns ignored (the reference's
     appendText contract, ObjectRepository.h:108-145)."""
