@@ -368,26 +368,22 @@ def build_bulk(
         sqn_fast = sqn if sqn is not None else D.sq_norms(x)
         x_fast = x if x.dtype == jnp.float32 else x.astype(jnp.float32)
 
-    # per-dispatch chunk: the tiled program handles many 8k-query tiles per
+    # per-dispatch chunk: the tiled program handles many 4k-query tiles per
     # call (each dispatch over the axon tunnel costs ~0.1-1 s, so dispatch
     # COUNT — not MXU time — dominated the 1M build before tiling)
-    qtile = 8192
-    qblock = 16 * qtile if fast else 4096
+    qtile = 4096
+    qblock = 32 * qtile if fast else 4096
     for off in range(0, len(pending), qblock):
         chunk = pending[off : off + qblock]
-        if fast and len(chunk) > qtile:
-            bpad = ((len(chunk) + qtile - 1) // qtile) * qtile
+        if fast:
+            bpad = (
+                ((len(chunk) + qtile - 1) // qtile) * qtile
+                if len(chunk) > qtile
+                else _bucket(len(chunk))
+            )
             ids, dists = BF.fast_knn_l2_bulk(
                 jnp.asarray(_pad_ids(chunk, bpad)), x_fast, valid, sqn_fast,
-                k=k + 1, qblock=qtile,
-            )
-        elif fast:
-            # small builds: the plain single-tile program compiles far
-            # faster than the tiled scan-of-scan and dispatch count is low
-            bpad = _bucket(len(chunk))
-            qrows = jnp.asarray(store._x[_pad_ids(chunk, bpad)])
-            ids, dists = BF.fast_knn_l2(
-                qrows.astype(jnp.float32), x_fast, valid, sqn_fast, k + 1,
+                k=k + 1, qblock=min(qtile, bpad),
             )
         else:
             bpad = _bucket(len(chunk))

@@ -23,6 +23,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <thread>
 #include <vector>
 
 extern "C" {
@@ -101,45 +102,75 @@ void merge_edges(int32_t *nbr_ids, float *nbr_dist, int32_t *degree,
   std::stable_sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
     return targets[a] < targets[b];
   });
+  // group starts (one group per distinct target; groups touch disjoint
+  // rows, so they parallelize freely — the analogue of the reference's
+  // serial coordinator insert, spread over threads)
+  std::vector<int64_t> starts;
+  starts.reserve(1024);
+  for (int64_t i = 0; i < n_adds; ++i)
+    if (i == 0 || targets[order[i]] != targets[order[i - 1]])
+      starts.push_back(i);
+  starts.push_back(n_adds);
+  const int64_t n_groups = static_cast<int64_t>(starts.size()) - 1;
 
-  std::vector<std::pair<float, int32_t>> row;
-  row.reserve(e_max * 2);
-  int64_t i = 0;
-  while (i < n_adds) {
-    const int64_t t = targets[order[i]];
-    int32_t *ids = nbr_ids + t * e_max;
-    float *ds = nbr_dist + t * e_max;
-    row.clear();
-    for (int64_t j = 0; j < e_max && ids[j] >= 0; ++j)
-      row.emplace_back(ds[j], ids[j]);
-    const size_t existing = row.size();
-    for (; i < n_adds && targets[order[i]] == t; ++i) {
-      const int32_t s = srcs[order[i]];
-      if (s < 0) continue;
-      bool dup = false;
-      for (size_t j = 0; j < row.size(); ++j)
-        if (row[j].second == s) { dup = true; break; }
-      if (!dup) row.emplace_back(dists[order[i]], s);
-    }
-    if (row.size() != existing) {
-      std::stable_sort(row.begin(), row.end(),
-                       [](const std::pair<float, int32_t> &a,
-                          const std::pair<float, int32_t> &b) {
-                         return a.first < b.first;
-                       });
-      const int64_t n = std::min<int64_t>(row.size(), e_max);
-      for (int64_t j = 0; j < n; ++j) {
-        ds[j] = row[j].first;
-        ids[j] = row[j].second;
+  auto work = [&](int64_t g0, int64_t g1) {
+    std::vector<std::pair<float, int32_t>> row;
+    row.reserve(e_max * 2);
+    for (int64_t g = g0; g < g1; ++g) {
+      const int64_t i0 = starts[g], i1 = starts[g + 1];
+      const int64_t t = targets[order[i0]];
+      int32_t *ids = nbr_ids + t * e_max;
+      float *ds = nbr_dist + t * e_max;
+      row.clear();
+      for (int64_t j = 0; j < e_max && ids[j] >= 0; ++j)
+        row.emplace_back(ds[j], ids[j]);
+      const size_t existing = row.size();
+      for (int64_t i = i0; i < i1; ++i) {
+        const int32_t s = srcs[order[i]];
+        if (s < 0) continue;
+        bool dup = false;
+        for (size_t j = 0; j < row.size(); ++j)
+          if (row[j].second == s) { dup = true; break; }
+        if (!dup) row.emplace_back(dists[order[i]], s);
       }
-      for (int64_t j = n; j < e_max; ++j) {
-        ds[j] = __builtin_inff();
-        ids[j] = -1;
+      if (row.size() != existing) {
+        std::stable_sort(row.begin(), row.end(),
+                         [](const std::pair<float, int32_t> &a,
+                            const std::pair<float, int32_t> &b) {
+                           return a.first < b.first;
+                         });
+        const int64_t n = std::min<int64_t>(row.size(), e_max);
+        for (int64_t j = 0; j < n; ++j) {
+          ds[j] = row[j].first;
+          ids[j] = row[j].second;
+        }
+        for (int64_t j = n; j < e_max; ++j) {
+          ds[j] = __builtin_inff();
+          ids[j] = -1;
+        }
+        degree[t] = static_cast<int32_t>(n);
+        has_node[t] = 1;
       }
-      degree[t] = static_cast<int32_t>(n);
-      has_node[t] = 1;
     }
+  };
+
+  unsigned hw = std::thread::hardware_concurrency();
+  int64_t n_threads = hw ? static_cast<int64_t>(hw) : 4;
+  if (n_threads > n_groups / 64) n_threads = n_groups / 64;  // small batches
+  if (n_threads <= 1) {
+    work(0, n_groups);
+    return;
   }
+  std::vector<std::thread> pool;
+  pool.reserve(n_threads);
+  const int64_t per = (n_groups + n_threads - 1) / n_threads;
+  for (int64_t t = 0; t < n_threads; ++t) {
+    const int64_t g0 = t * per;
+    const int64_t g1 = std::min(g0 + per, n_groups);
+    if (g0 >= g1) break;
+    pool.emplace_back(work, g0, g1);
+  }
+  for (auto &th : pool) th.join();
 }
 
 // Constrained reverse-edge selection — the serial core of

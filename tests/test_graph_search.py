@@ -144,26 +144,3 @@ def test_duplicate_seeds_ok(rng):
     for row in ids:
         live = row[row >= 0]
         assert len(live) == len(set(live.tolist()))
-
-
-def test_pallas_block_scores_interpret(rng):
-    """Pallas block-hop kernel vs numpy (interpret mode; on TPU it is the
-    alternative backend for the sq8 block hop — measured equal to the XLA
-    contiguous-row path, kept for future hardware)."""
-    import jax.numpy as jnp
-    from ngt_tpu.ops.pallas_block import block_sq8_scores
-
-    n, e, d, b = 100, 16, 128, 16
-    blocks = rng.integers(-127, 128, size=(n, e, d)).astype(np.int8)
-    ids = rng.integers(0, n, size=b).astype(np.int32)
-    q = rng.normal(size=(b, d)).astype(np.float32)
-    got = np.asarray(
-        block_sq8_scores(
-            jnp.asarray(blocks), jnp.asarray(ids), jnp.asarray(q),
-            e=e, interpret=True,
-        )
-    )
-    want = (
-        (blocks[ids].astype(np.float32) - q[:, None, :]) ** 2
-    ).sum(-1)
-    np.testing.assert_allclose(got, want, rtol=1e-4)
