@@ -235,6 +235,18 @@ class DeviceMirror:
         self.capacity = self.store._x.shape[0]
         self.version += 1
 
+    def adopt(self, x: jax.Array, nbr: jax.Array, sqnorm: jax.Array | None):
+        """Take ownership of already-device-resident arrays (the bulk build
+        constructs the adjacency ON device; re-uploading it through
+        sync_full would cost ~10 s per 850 MB over the tunnel)."""
+        self.graph.ensure_capacity(self.store._x.shape[0])
+        self.x = x
+        self.nbr = nbr
+        self.sqnorm = sqnorm if self._wants_sqnorm() else None
+        self.valid = jnp.asarray(self._search_valid())
+        self.capacity = self.store._x.shape[0]
+        self.version += 1
+
     def update_rows(self, obj_ids: np.ndarray | None, nbr_ids: np.ndarray | None):
         if self.x is None or self.capacity != self.store._x.shape[0]:
             self.sync_full()
@@ -274,52 +286,187 @@ def _hash_bits_for(capacity: int) -> tuple[int, bool]:
     return bits, capacity <= (1 << bits)
 
 
+@functools.partial(jax.jit, static_argnames=("e_max", "cap", "reverse"))
+def _bulk_graph_rows(src_ids, f_ids, f_d, *, e_max, cap, reverse):
+    """Build ALL adjacency rows from the bulk scan's forward edges in one
+    device program: forward ∪ reversed edge triples -> sort by (row, dist)
+    -> dedupe -> rank-within-row -> scatter into fixed-width rows.
+
+    This replaces the host-side set_nodes + merge_edges passes: with one
+    host core (this container) the serial merge was ~35 s at 1M, while the
+    device sorts ~80M triples in seconds and the result lands already
+    device-resident for the search mirror."""
+    npq, kk = f_ids.shape
+    ok = (f_ids >= 0) & (f_ids != src_ids[:, None])
+    d = jnp.where(ok, f_d, jnp.inf).astype(jnp.float32)
+    t = jnp.where(ok, f_ids, -1)
+    s_fwd = jnp.broadcast_to(src_ids[:, None], (npq, kk))
+    if reverse:
+        s = jnp.concatenate([s_fwd.reshape(-1), t.reshape(-1)])
+        tt = jnp.concatenate([t.reshape(-1), s_fwd.reshape(-1)])
+        dd = jnp.concatenate([d.reshape(-1), d.reshape(-1)])
+    else:
+        s, tt, dd = s_fwd.reshape(-1), t.reshape(-1), d.reshape(-1)
+    pad_row = jnp.int32(cap)
+    invalid = (tt < 0) | (s < 0) | jnp.isinf(dd)
+    s = jnp.where(invalid, pad_row, s)
+    # dedupe (row, target) keeping the (identical) distance
+    s1, t1, d1 = jax.lax.sort((s, tt, dd), num_keys=3)
+    dup = jnp.concatenate(
+        [jnp.zeros((1,), bool), (s1[1:] == s1[:-1]) & (t1[1:] == t1[:-1])]
+    )
+    d1 = jnp.where(dup, jnp.inf, d1)
+    s1 = jnp.where(dup, pad_row, s1)
+    # rank within row by distance
+    s2, d2, t2 = jax.lax.sort((s1, d1, t1), num_keys=2)
+    l = s2.shape[0]
+    idxv = jnp.arange(l, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), s2[1:] != s2[:-1]])
+    gstart = jax.lax.cummax(jnp.where(is_start, idxv, 0))
+    rank = idxv - gstart
+    keep = (rank < e_max) & (s2 < pad_row) & jnp.isfinite(d2)
+    row = jnp.where(keep, s2, pad_row)
+    col = jnp.where(keep, rank, 0)
+    nbr = jnp.full((cap + 1, e_max), -1, jnp.int32)
+    nbrd = jnp.full((cap + 1, e_max), jnp.inf, jnp.float32)
+    # masked entries all write the constant (-1, inf) at the pad row —
+    # colliding scatters carry identical values, so order cannot matter
+    nbr = nbr.at[row, col].set(jnp.where(keep, t2, -1))
+    nbrd = nbrd.at[row, col].set(jnp.where(keep, d2, jnp.inf))
+    nbr, nbrd = nbr[:cap], nbrd[:cap]
+    deg = jnp.sum(nbr >= 0, axis=1).astype(jnp.int32)
+    return nbr, nbrd, deg
+
+
+@jax.jit
+def _cc_labels_device(nbr, valid):
+    """Connected-component labels by min-label propagation with pointer
+    jumping — the device analogue of the native union-find (one host core
+    here makes an 80M-edge serial union-find a ~20 s pass; on device each
+    round is two big gathers and convergence takes O(log n) rounds)."""
+    n, _ = nbr.shape
+    none = jnp.int32(n)
+    labels0 = jnp.where(valid, jnp.arange(n, dtype=jnp.int32), none)
+    safe = jnp.clip(nbr, 0, n - 1)
+    edge_ok = nbr >= 0
+
+    def cond(st):
+        i, _, changed = st
+        return changed & (i < 128)
+
+    def jump_fixpoint(l):
+        # follow label chains to their minimum: operates on the [n] label
+        # array only (cheap), so run it to convergence each round — one
+        # edge round + full jumping converges in a handful of rounds where
+        # single-hop jumping needed >100 (it hit the iteration cap and made
+        # CC the longest build phase)
+        def jcond(st):
+            j, _, ch = st
+            return ch & (j < 64)
+
+        def jbody(st):
+            j, l, _ = st
+            nxt = jnp.take(l, jnp.clip(l, 0, n - 1))
+            l2 = jnp.where(l < none, jnp.minimum(l, nxt), none)
+            return j + 1, l2, jnp.any(l2 != l)
+
+        _, l, _ = jax.lax.while_loop(
+            jcond, jbody, (jnp.int32(0), l, jnp.bool_(True))
+        )
+        return l
+
+    def body(st):
+        i, labels, _ = st
+        nl = jnp.where(edge_ok, jnp.take(labels, safe), none)
+        new = jnp.minimum(labels, jnp.min(nl, axis=1))
+        # push to neighbors (symmetrize the propagation)
+        push = jnp.where(
+            edge_ok, jnp.broadcast_to(new[:, None], nbr.shape), none
+        )
+        new = new.at[safe.reshape(-1)].min(push.reshape(-1))
+        new = jump_fixpoint(new)
+        new = jnp.where(valid, new, none)
+        return i + 1, new, jnp.any(new != labels)
+
+    _, labels, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), labels0, jnp.bool_(True))
+    )
+    return labels
+
+
 def ensure_connected(
     store: VectorStore,
     graph: GraphStore,
     seeder: Seeder,
     metric: DistanceType,
     max_passes: int = 4,
-) -> int:
+    nbr_dev: jax.Array | None = None,
+    first_labels: np.ndarray | None = None,
+) -> tuple[int, jax.Array | None]:
     """Link disconnected components into the main graph.
 
     An exact-KNN graph over clustered data can decompose into cliques with
     no inter-cluster edges (the reference's incremental growth avoids this
     implicitly because every insertion searches the CURRENT global graph).
-    Each pass: per secondary component take a pivot and link it
-    bidirectionally to its nearest representative holding a different
-    component label — one small matmul per pass.  Returns the final
-    component count."""
+    Labels are computed ONCE (device propagation when ``nbr_dev`` is given,
+    else the native union-find); each bridging pass: per secondary
+    component take a pivot and link it bidirectionally to its nearest
+    representative holding a different component label — one small matmul
+    per pass — then MERGE the bridged label pairs in place (the bridges
+    are the only new edges, so recomputing full CC per pass — ~50 s on
+    device / ~20 s host union-find at 1M — is pure waste).  Returns the
+    final component count and the (bridge-updated) device adjacency when
+    one was passed in."""
     from ngt_tpu import native
 
     n = store.repository_size
-    comps = 0
-    for _ in range(max_passes):
-        labels, comps = native.connected_components(
+    if first_labels is not None:
+        labels = np.asarray(first_labels)[:n].astype(np.int64)
+        labels[labels >= n] = -1
+    elif nbr_dev is not None:
+        valid_dev = jnp.asarray(graph._has_node[: nbr_dev.shape[0]])
+        lab_dev = _cc_labels_device(nbr_dev, valid_dev)
+        labels = np.asarray(lab_dev)[:n].astype(np.int64)
+        labels[labels >= n] = -1
+    else:
+        labels, _ = native.connected_components(
             graph.nbr_ids[: max(n, 1)], graph._has_node[: max(n, 1)]
         )
+        labels = labels.astype(np.int64)
+    comps = len(np.unique(labels[labels >= 0]))
+    for _ in range(max_passes):
         if comps <= 1:
             break
         live_labels = labels[labels >= 0]
         main = np.bincount(live_labels).argmax()
-        # one pivot per secondary component
-        sec = np.unique(live_labels)
-        sec = sec[sec != main]
-        pivots = []
-        for lab in sec:
-            pivots.append(np.nonzero(labels == lab)[0][0])
-        pivots = np.asarray(pivots, np.int64)
+        # one pivot per secondary component (vectorized first-occurrence:
+        # a per-component nonzero scan is O(comps*n) — minutes at 1M with
+        # thousands of clique components)
+        live_idx = np.nonzero(labels >= 0)[0]
+        order = np.argsort(labels[live_idx], kind="stable")
+        ll = labels[live_idx][order]
+        first_mask = np.concatenate([[True], ll[1:] != ll[:-1]])
+        firsts = live_idx[order][first_mask]
+        lab_vals = ll[first_mask]
+        pivots = firsts[lab_vals != main].astype(np.int64)
         reps = seeder.rep_ids
         if len(reps) == 0:
             break
         rep_labels = labels[np.clip(reps, 0, n - 1)]
         prow = jnp.asarray(store._x[pivots])
         rrow = jnp.asarray(store._x[reps])
-        d = np.array(D.pairwise(metric, prow, rrow))
-        d[rep_labels[None, :] == labels[pivots][:, None]] = INF
-        d[:, rep_labels < 0] = INF
-        tgt_idx = np.argmin(d, axis=1)
-        td = d[np.arange(len(pivots)), tgt_idx]
+        # mask + argmin on device: pulling the [pivots, reps] distance
+        # matrix costs ~0.5 GB over the tunnel at 1M scale (5k pivots x
+        # 31k reps); the per-pivot winner is 40 KB
+        dd = D.pairwise(metric, prow, rrow)
+        bad = (
+            jnp.asarray(rep_labels)[None, :]
+            == jnp.asarray(labels[pivots])[:, None]
+        ) | jnp.asarray(rep_labels < 0)[None, :]
+        dd = jnp.where(bad, jnp.inf, dd)
+        tgt_idx, td = jax.device_get(
+            (jnp.argmin(dd, axis=1), jnp.min(dd, axis=1))
+        )
         okm = np.isfinite(td)
         if not okm.any():
             break
@@ -328,7 +475,35 @@ def ensure_connected(
         td = td[okm].astype(np.float32)
         graph.add_edges(piv.astype(np.int64), tgt, td)
         graph.add_edges(tgt.astype(np.int64), piv, td)
-    return comps
+        if nbr_dev is not None:
+            touched = np.unique(np.concatenate([piv, tgt])).astype(np.int64)
+            pad = _pad_ids(touched, _bucket(len(touched)))
+            nbr_dev = nbr_dev.at[jnp.asarray(pad)].set(
+                jnp.asarray(graph.nbr_ids[pad])
+            )
+        # merge bridged components in the label array (tiny union-find over
+        # label VALUES — the bridges are the only new edges)
+        parent: dict[int, int] = {}
+
+        def find(a: int) -> int:
+            r = a
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(a, a) != a:
+                parent[a], a = r, parent[a]
+            return r
+
+        for a, b in zip(labels[piv], labels[tgt]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        uniq = np.unique(live_labels)
+        roots = np.array([find(int(u)) for u in uniq], np.int64)
+        lut = np.arange(labels.max() + 1, dtype=np.int64)
+        lut[uniq] = roots
+        labels = np.where(labels >= 0, lut[np.clip(labels, 0, None)], -1)
+        comps = len(np.unique(roots))
+    return comps, nbr_dev
 
 
 def build_bulk(
@@ -348,8 +523,23 @@ def build_bulk(
     exact-KNNG with reverse edges dominates an incrementally-grown ANNG in
     quality (the reference itself treats the exact graph as the ideal its
     refineANNG approaches; GraphReconstructor.h:803-924)."""
+    import os
+    import time as _t
+
     from ngt_tpu.ops import bruteforce as BF
 
+    prof = os.environ.get("NGT_TPU_BUILD_PROFILE", "") == "1"
+    marks: list[tuple[str, float]] = []
+
+    def mark(label, sync=None):
+        if not prof:
+            return
+        if sync is not None:
+            jax.block_until_ready(sync)
+            np.asarray(jax.tree.leaves(sync)[0].ravel()[0])
+        marks.append((label, _t.time()))
+
+    mark("start")
     k = int(prop.edge_size_for_creation)
     metric = store.metric
     pending = np.asarray(pending, dtype=np.int32)
@@ -360,6 +550,7 @@ def build_bulk(
     x = jnp.asarray(store._x)
     valid = jnp.asarray(store._valid)  # all live objects are candidates
     sqn = D.sq_norms(x) if mirror._wants_sqnorm() else None
+    mark("upload", x)
 
     # bf16 scan + exact re-rank where L2 ranking equals the metric (a single
     # MXU pass instead of the ~3 passes of f32-precision matmuls)
@@ -373,6 +564,8 @@ def build_bulk(
     # COUNT — not MXU time — dominated the 1M build before tiling)
     qtile = 4096
     qblock = 32 * qtile if fast else 4096
+    fresh = graph.node_count() == 0
+    dev_chunks = [] if fresh else None
     for off in range(0, len(pending), qblock):
         chunk = pending[off : off + qblock]
         if fast:
@@ -381,9 +574,12 @@ def build_bulk(
                 if len(chunk) > qtile
                 else _bucket(len(chunk))
             )
+            # kc=2(k+1): any TRUE top-(k+1) neighbor ranks <= k+1 within its
+            # own block, so a 2x window never loses it to bf16 noise; the
+            # approximate selector and the re-rank gather both scale with kc
             ids, dists = BF.fast_knn_l2_bulk(
                 jnp.asarray(_pad_ids(chunk, bpad)), x_fast, valid, sqn_fast,
-                k=k + 1, qblock=min(qtile, bpad),
+                k=k + 1, kc=2 * (k + 1), qblock=min(qtile, bpad),
             )
         else:
             bpad = _bucket(len(chunk))
@@ -391,6 +587,12 @@ def build_bulk(
             ids, dists = BF.linear_search(
                 qrows, x, valid, metric, k + 1, x_sqnorm=sqn
             )
+        if fresh:
+            # keep scan outputs ON DEVICE; the whole graph assembles in one
+            # device program below (one host core makes the per-chunk
+            # set_nodes/merge_edges path the build bottleneck at scale)
+            dev_chunks.append((ids[: len(chunk)], dists[: len(chunk)]))
+            continue
         ids, dists = jax.device_get((ids, dists))
         ids, dists = ids[: len(chunk)], dists[: len(chunk)]
         # drop self-matches, keep k
@@ -408,16 +610,80 @@ def build_bulk(
                 np.repeat(chunk, ok.sum(axis=1)).astype(np.int32),
                 sel_d[ok].astype(np.float32),
             )
+
+    nbr_dev = None
+    if fresh:
+        mark("scan", dev_chunks[-1])
+        all_i = (
+            jnp.concatenate([c[0] for c in dev_chunks])
+            if len(dev_chunks) > 1 else dev_chunks[0][0]
+        )
+        all_d = (
+            jnp.concatenate([c[1] for c in dev_chunks])
+            if len(dev_chunks) > 1 else dev_chunks[0][1]
+        )
+        cap = store._x.shape[0]
+        nbr_dev, nbrd_dev, deg_dev = _bulk_graph_rows(
+            jnp.asarray(pending), all_i, all_d,
+            e_max=graph.e_max, cap=cap,
+            reverse=prop.graph_type != GraphType.KNNG,
+        )
+        mark("rows", nbr_dev)
+        # download only the occupied prefix (the capacity tail is empty;
+        # the tunnel moves ~50-100 MB/s), and stream it WHILE the first
+        # connected-components pass runs on device
+        n_used = int(pending.max()) + 1 if len(pending) else 1
+        slices = (nbr_dev[:n_used], nbrd_dev[:n_used], deg_dev[:n_used])
+        for a in slices:
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass
+        first_labels = None
+        if prop.graph_type != GraphType.KNNG:
+            # fresh build: graph membership == store validity, so the
+            # device valid mask stands in for has_node (not host-set yet)
+            first_labels = np.asarray(_cc_labels_device(nbr_dev, valid))
+        nbr_h, nbrd_h, deg_h = jax.device_get(slices)
+        mark("download")
+        graph.nbr_ids[:n_used] = nbr_h
+        graph.nbr_dist[:n_used] = nbrd_h
+        graph.degree[:n_used] = deg_h
+        graph._has_node[:] = False
+        graph._has_node[pending] = True
+        mark("host-store")
+
     if prop.truncation_threshold > 0:
         live = np.nonzero(graph._has_node)[0]
         graph.truncate_rows(
             live.astype(np.int64), int(prop.truncation_threshold)
         )
+        nbr_dev = None  # host rows changed wholesale; re-upload below
+        first_labels = None
     live = np.nonzero(graph._has_node)[0].astype(np.int32)
     seeder.refresh(live, store._x, num_reps=default_reps(len(live)))
+    mark("seeds")
     if prop.graph_type != GraphType.KNNG:
-        ensure_connected(store, graph, seeder, metric)
-    mirror.sync_full()
+        _, nbr_dev = ensure_connected(
+            store, graph, seeder, metric, nbr_dev=nbr_dev,
+            first_labels=first_labels if fresh else None,
+        )
+    mark("connect")
+    if nbr_dev is not None:
+        # adopt the already-device-resident arrays instead of re-uploading
+        # ~850 MB over the tunnel
+        mirror.adopt(x, nbr_dev, sqn)
+    else:
+        mirror.sync_full()
+    mark("mirror", mirror.nbr)
+    if prof:
+        import sys
+
+        parts = [
+            f"{marks[i][0]}={marks[i][1] - marks[i - 1][1]:.1f}s"
+            for i in range(1, len(marks))
+        ]
+        print("# build_bulk profile: " + " ".join(parts), file=sys.stderr)
     return mirror
 
 
