@@ -217,6 +217,19 @@ class IVFPQIndex:
                 else np.concatenate([self._raw, x], axis=0)
             )
 
+    def _encode_chunked(self, resid: np.ndarray) -> np.ndarray:
+        """Encode residuals in ~1M-row device chunks (a single 10M-row
+        encode would stage >5 GB on device)."""
+        mp = (self.pq.m + 1) // 2 if self.packed else self.pq.m
+        out = np.empty((len(resid), mp), np.uint8)
+        step = 1 << 20
+        for s in range(0, len(resid), step):
+            c = self.pq.encode(resid[s : s + step])
+            if self.packed:
+                c = pack_codes4(c)
+            out[s : s + step] = c
+        return out
+
     def _flush_pending(self) -> None:
         """Assign + encode every pending batch against the current
         codebooks and grow the inverted lists."""
@@ -226,9 +239,7 @@ class IVFPQIndex:
         self._pending = []
         assign = self._assign_to_centroids(x)
         resid = x - self.centroids[assign]
-        codes = self.pq.encode(resid)
-        if self.packed:
-            codes = pack_codes4(codes)
+        codes = self._encode_chunked(resid)
         self._assign = np.concatenate([self._assign, assign])
         self._codes = (
             codes if self._codes.size == 0
@@ -270,9 +281,7 @@ class IVFPQIndex:
         if len(rs) > self.train_sample:
             rs = rs[rng.choice(len(rs), self.train_sample, replace=False)]
         self.pq.fit(rs, center=False)
-        codes = self.pq.encode(resid)
-        if self.packed:
-            codes = pack_codes4(codes)
+        codes = self._encode_chunked(resid)
         self._assign = assign
         self._codes = codes
         self._raw = None
