@@ -202,9 +202,18 @@ class GraphStore:
         }
 
     @classmethod
-    def from_state(cls, state: dict) -> "GraphStore":
-        g = cls(max_edges=int(state["e_max"]), capacity=max(len(state["degree"]), 16))
+    def from_state(cls, state: dict, copy: bool = True) -> "GraphStore":
         n = len(state["degree"])
+        if not copy:
+            # adopt (e.g. copy-on-write memmaps for shared multi-process
+            # reading); ensure_capacity makes a private copy on growth
+            g = cls(max_edges=int(state["e_max"]), capacity=16)
+            g.nbr_ids = state["nbr_ids"]
+            g.nbr_dist = state["nbr_dist"]
+            g.degree = np.array(state["degree"])
+            g._has_node = np.array(state["has_node"])
+            return g
+        g = cls(max_edges=int(state["e_max"]), capacity=max(n, 16))
         g.nbr_ids[:n] = state["nbr_ids"]
         g.nbr_dist[:n] = state["nbr_dist"]
         g.degree[:n] = state["degree"]

@@ -47,11 +47,12 @@ class Index:
         path: Optional[str] = None,
         prop: Optional[Property] = None,
         zero_based_numbering: bool = True,
+        memory_mapped: bool = False,
     ):
         self.path = path
         self.zero_based = zero_based_numbering
         if path is not None and os.path.exists(os.path.join(path, "prf")):
-            self._load(path)
+            self._load(path, memory_mapped=memory_mapped)
             return
         if prop is None:
             raise ValueError("need an existing index path or a Property")
@@ -451,27 +452,55 @@ class Index:
         self.prop.dimension = self.store.dimension
         self.prop.save(os.path.join(path, "prf"))
         n = self.store.repository_size
+        # each array is its own .npy so a reopen can MEMORY-MAP the files:
+        # multiple reader processes then share one page cache copy — the
+        # role of the reference's shared-memory index ("no lock function …
+        # should be used only for reference", README.md:85, PersistentRepository)
         np.save(os.path.join(path, "objects.npy"), self.store._x[:n])
         gs = self.graph.state_dict(n)
         ss = self.store.state_dict()
-        np.savez(
-            os.path.join(path, "graph.npz"),
-            **gs,
-            valid=ss["valid"],
-            free=ss["free"],
-        )
+        for name, arr in (
+            ("nbr_ids", gs["nbr_ids"]),
+            ("nbr_dist", gs["nbr_dist"]),
+            ("degree", gs["degree"]),
+            ("has_node", gs["has_node"]),
+            ("valid", ss["valid"]),
+            ("free", ss["free"]),
+        ):
+            np.save(os.path.join(path, name + ".npy"), arr)
+        legacy = os.path.join(path, "graph.npz")
+        if os.path.exists(legacy):
+            os.remove(legacy)
         np.savez(os.path.join(path, "seeds.npz"), rep_ids=self.seeder.rep_ids)
         with open(os.path.join(path, "meta.json"), "w") as fh:
             json.dump(
-                {"format_version": FORMAT_VERSION, "size": n, "framework": "ngt_tpu"},
+                {
+                    "format_version": FORMAT_VERSION,
+                    "size": n,
+                    "e_max": int(self.graph.e_max),
+                    "framework": "ngt_tpu",
+                },
                 fh,
             )
         self.path = path
 
-    def _load(self, path: str) -> None:
+    def _load(self, path: str, memory_mapped: bool = False) -> None:
         self.prop = Property.load_dir(path)
-        x = np.load(os.path.join(path, "objects.npy"))
-        g = np.load(os.path.join(path, "graph.npz"))
+        # copy-on-write mmap: readers share pages; writes stay process-local
+        mm = "c" if memory_mapped else None
+        x = np.load(os.path.join(path, "objects.npy"), mmap_mode=mm)
+        if os.path.exists(os.path.join(path, "graph.npz")):  # round-1 format
+            g = dict(np.load(os.path.join(path, "graph.npz")))
+        else:
+            g = {
+                name: np.load(os.path.join(path, name + ".npy"), mmap_mode=mm)
+                for name in (
+                    "nbr_ids", "nbr_dist", "degree", "has_node", "valid",
+                    "free",
+                )
+            }
+            with open(os.path.join(path, "meta.json")) as fh:
+                g["e_max"] = json.load(fh)["e_max"]
         self.store = VectorStore.from_state(
             {
                 "x": x,
@@ -480,10 +509,12 @@ class Index:
                 "dimension": self.prop.dimension,
                 "metric": int(self.prop.distance_type),
                 "object_type": int(self.prop.object_type),
-            }
+            },
+            copy=not memory_mapped,
         )
         self.graph = GraphStore.from_state(
-            {k: g[k] for k in ("nbr_ids", "nbr_dist", "degree", "has_node", "e_max")}
+            {k: g[k] for k in ("nbr_ids", "nbr_dist", "degree", "has_node", "e_max")},
+            copy=not memory_mapped,
         )
         self.graph.ensure_capacity(self.store._x.shape[0])
         self.seeder = Seeder(self.prop.distance_type, seed_size=self.prop.seed_size)
@@ -679,6 +710,19 @@ def create(
     return idx
 
 
-def open_index(path: str, zero_based_numbering: bool = True) -> Index:
-    """Open an existing index (ngtpy.Index ctor, ngtpy.cpp:58-75)."""
-    return Index(path=path, zero_based_numbering=zero_based_numbering)
+def open_index(
+    path: str,
+    zero_based_numbering: bool = True,
+    memory_mapped: bool = False,
+) -> Index:
+    """Open an existing index (ngtpy.Index ctor, ngtpy.cpp:58-75).
+
+    ``memory_mapped=True`` opens the object/adjacency files as
+    copy-on-write memmaps: concurrent reader processes share one page-cache
+    copy (the reference's shared-memory multi-process read story,
+    README.md:85); local mutations stay process-private."""
+    return Index(
+        path=path,
+        zero_based_numbering=zero_based_numbering,
+        memory_mapped=memory_mapped,
+    )

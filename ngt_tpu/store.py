@@ -270,17 +270,24 @@ class VectorStore:
         }
 
     @classmethod
-    def from_state(cls, state: dict) -> "VectorStore":
+    def from_state(cls, state: dict, copy: bool = True) -> "VectorStore":
         vs = cls(
             dimension=int(state["dimension"]),
             metric=DistanceType(int(state["metric"])),
             object_type=ObjectType(int(state["object_type"])),
-            capacity=max(int(state["x"].shape[0]), 16),
+            capacity=max(int(state["x"].shape[0]), 16) if copy else 16,
         )
         n = state["x"].shape[0]
-        vs._ensure_capacity(n)
-        vs._x[:n] = state["x"]
-        vs._valid[:n] = state["valid"]
+        if copy:
+            vs._ensure_capacity(n)
+            vs._x[:n] = state["x"]
+            vs._valid[:n] = state["valid"]
+        else:
+            # adopt the arrays as-is (e.g. copy-on-write memmaps: readers
+            # share the page cache; growth falls back to a private copy via
+            # _ensure_capacity)
+            vs._x = state["x"]
+            vs._valid = np.array(state["valid"])
         vs._size = n
         vs._free = [int(i) for i in state["free"]]
         heapq.heapify(vs._free)

@@ -331,3 +331,33 @@ def test_connected_components_native_vs_numpy(rng):
     assert labels[0] == labels[3] and labels[10] == labels[12]
     assert labels[0] != labels[10]
     assert labels[5] == -1  # non-node
+
+
+def test_memory_mapped_open(tmp_path, rng):
+    """memory_mapped=True opens the index over copy-on-write memmaps: same
+    results, local mutations stay process-private (the reference's
+    multi-process shared read, README.md:85 / PersistentRepository)."""
+    data = rng.normal(size=(300, 8)).astype(np.float32)
+    idx = _build(data)
+    p = str(tmp_path / "mmidx")
+    idx.save(p)
+    q = rng.normal(size=(8, 8)).astype(np.float32)
+    want, wantd = idx.batch_search(q, size=5, epsilon=0.1)
+
+    ro = ngt_tpu.open_index(p, memory_mapped=True)
+    assert isinstance(ro.store._x, np.memmap)
+    got, gotd = ro.batch_search(q, size=5, epsilon=0.1)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got))
+    # a second reader shares the same files
+    ro2 = ngt_tpu.open_index(p, memory_mapped=True)
+    got2, _ = ro2.batch_search(q, size=5, epsilon=0.1)
+    np.testing.assert_array_equal(np.asarray(want), np.asarray(got2))
+    # local mutation works (COW) and does NOT leak into the files
+    ro.remove(7)
+    assert not ro.store.contains(ro._int(7))
+    ro3 = ngt_tpu.open_index(p, memory_mapped=True)
+    assert ro3.store.contains(ro3._int(7))
+    # growth past the mapped capacity falls back to private arrays
+    nid = ro.insert(np.zeros(8, np.float32))
+    ro.build_index()
+    assert ro.search(np.zeros(8, np.float32), size=1)[0][0] == nid
