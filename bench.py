@@ -191,15 +191,20 @@ def bench_1m(base5k, timed, rng):
     cache = os.path.expanduser("~/.cache/ngt_tpu_bench")
     os.makedirs(cache, exist_ok=True)
     n_q = 1024
-    corpus_f = os.path.join(cache, "sift1m_sigma12.npy")
+    # integral uint8-valued corpus like the real sift-128-euclidean (SIFT
+    # descriptors are uint8); also lets the build ship 4x fewer bytes over
+    # the tunnel (graph/build.py _upload_f32)
+    corpus_f = os.path.join(cache, "sift1m_sigma12_u8.npy")
     if os.path.exists(corpus_f):
         data = np.load(corpus_f, mmap_mode="r")
-        data = np.ascontiguousarray(data)
+        data = np.ascontiguousarray(data).astype(np.float32)
     else:
         g = np.random.default_rng(0)
         data = np.tile(base5k, (200, 1))
         data += g.normal(scale=12.0, size=data.shape).astype(np.float32)
-        np.save(corpus_f, data)
+        np.clip(np.rint(data), 0, 255, out=data)
+        np.save(corpus_f, data.astype(np.uint8))
+        data = data.astype(np.float32)
     g2 = np.random.default_rng(1)
     queries = base5k[g2.choice(len(base5k), n_q, replace=False)] + g2.normal(
         scale=12.0, size=(n_q, 128)
@@ -215,7 +220,7 @@ def bench_1m(base5k, timed, rng):
         file=sys.stderr,
     )
 
-    gt_f = os.path.join(cache, "sift1m_gt10.npy")
+    gt_f = os.path.join(cache, "sift1m_u8_gt10.npy")
     if os.path.exists(gt_f):
         gt_ids = np.load(gt_f)
     else:

@@ -228,7 +228,7 @@ class DeviceMirror:
 
     def sync_full(self):
         self.graph.ensure_capacity(self.store._x.shape[0])
-        self.x = jnp.asarray(self.store._x)
+        self.x = _upload_f32(self.store._x)
         self.valid = jnp.asarray(self._search_valid())
         self.nbr = jnp.asarray(self.graph.nbr_ids[: self.store._x.shape[0]])
         self.sqnorm = D.sq_norms(self.x) if self._wants_sqnorm() else None
@@ -394,6 +394,65 @@ def _cc_labels_device(nbr, valid):
     return labels
 
 
+def _bridge_deferred(graph: GraphStore, piv, tgt, td) -> jax.Array:
+    """Apply bidirectional bridge edges to a graph whose adjacency is still
+    device-resident (GraphStore.defer_rows): pull only the touched rows,
+    merge on host with add_edges semantics (sorted bounded insert, dup
+    check; Graph.h:888-934), scatter the merged rows back into the deferred
+    device arrays.  Keeps the deferred ~650 MB download (1M scale) off the
+    build critical path — the touched rows are a few MB."""
+    from ngt_tpu.graph.storage import merge_edge_rows
+
+    dev_i, dev_d, dev_g, n_used = graph._deferred
+    targets = np.concatenate([piv, tgt]).astype(np.int64)
+    srcs = np.concatenate([tgt, piv]).astype(np.int32)
+    dd = np.concatenate([td, td]).astype(np.float32)
+    order = np.argsort(targets, kind="stable")
+    targets, srcs, dd = targets[order], srcs[order], dd[order]
+    uniq = np.unique(targets)
+    pad = _pad_ids(uniq, _bucket(len(uniq)))
+    padj = jnp.asarray(pad)
+    cur_i, cur_d = jax.device_get((dev_i[padj], dev_d[padj]))
+    new_i, new_d, new_deg = merge_edge_rows(
+        uniq, cur_i[: len(uniq)], cur_d[: len(uniq)],
+        targets, srcs, dd, graph.e_max,
+    )
+    # scatter back via the padded id list (pad repeats uniq[0]; feeding it
+    # row 0's merged values keeps the scatter idempotent)
+    local = np.searchsorted(uniq, pad)
+    dev_i = dev_i.at[padj].set(jnp.asarray(new_i[local]))
+    dev_d = dev_d.at[padj].set(jnp.asarray(new_d[local]))
+    dev_g = dev_g.at[padj].set(jnp.asarray(new_deg[local]).astype(dev_g.dtype))
+    graph._deferred = (dev_i, dev_d, dev_g, n_used)
+    return dev_i
+
+
+def _upload_f32(xh: np.ndarray) -> jax.Array:
+    """Ship the object matrix over the ~50-100 MB/s tunnel in the narrowest
+    LOSSLESS dtype, widening to f32 on device.  SIFT-style integral data
+    (uint8-valued, like sift-128-euclidean) moves 4x fewer bytes; anything
+    exactly representable in f16/int16 moves 2x fewer.  Non-representable
+    data falls through to a plain f32 upload — never lossy."""
+    try:
+        if xh.dtype == np.float32 and xh.size:
+            mn = float(xh.min())
+            mx = float(xh.max())
+            if 0 <= mn and mx <= 255:
+                xi = xh.astype(np.uint8)
+                if np.array_equal(xi.astype(np.float32), xh):
+                    return jnp.asarray(xi).astype(jnp.float32)
+            elif -32768 <= mn and mx <= 32767:
+                xi = xh.astype(np.int16)
+                if np.array_equal(xi.astype(np.float32), xh):
+                    return jnp.asarray(xi).astype(jnp.float32)
+            x16 = xh.astype(np.float16)
+            if np.array_equal(x16.astype(np.float32), xh):
+                return jnp.asarray(x16).astype(jnp.float32)
+    except (ValueError, OverflowError):  # non-finite min/max etc.
+        pass
+    return jnp.asarray(xh)
+
+
 def ensure_connected(
     store: VectorStore,
     graph: GraphStore,
@@ -473,14 +532,22 @@ def ensure_connected(
         tgt = reps[tgt_idx[okm]].astype(np.int32)
         piv = pivots[okm].astype(np.int32)
         td = td[okm].astype(np.float32)
-        graph.add_edges(piv.astype(np.int64), tgt, td)
-        graph.add_edges(tgt.astype(np.int64), piv, td)
-        if nbr_dev is not None:
-            touched = np.unique(np.concatenate([piv, tgt])).astype(np.int64)
-            pad = _pad_ids(touched, _bucket(len(touched)))
-            nbr_dev = nbr_dev.at[jnp.asarray(pad)].set(
-                jnp.asarray(graph.nbr_ids[pad])
-            )
+        if graph._deferred is not None:
+            # adjacency still device-resident: merge the bridges into the
+            # touched rows only (a few MB) instead of materializing the
+            # full host copy
+            nbr_dev = _bridge_deferred(graph, piv, tgt, td)
+        else:
+            graph.add_edges(piv.astype(np.int64), tgt, td)
+            graph.add_edges(tgt.astype(np.int64), piv, td)
+            if nbr_dev is not None:
+                touched = np.unique(
+                    np.concatenate([piv, tgt])
+                ).astype(np.int64)
+                pad = _pad_ids(touched, _bucket(len(touched)))
+                nbr_dev = nbr_dev.at[jnp.asarray(pad)].set(
+                    jnp.asarray(graph.nbr_ids[pad])
+                )
         # merge bridged components in the label array (tiny union-find over
         # label VALUES — the bridges are the only new edges)
         parent: dict[int, int] = {}
@@ -547,7 +614,7 @@ def build_bulk(
     if mirror is None:
         mirror = DeviceMirror(store, graph)
 
-    x = jnp.asarray(store._x)
+    x = _upload_f32(store._x)
     valid = jnp.asarray(store._valid)  # all live objects are candidates
     sqn = D.sq_norms(x) if mirror._wants_sqnorm() else None
     mark("upload", x)
@@ -629,29 +696,21 @@ def build_bulk(
             reverse=prop.graph_type != GraphType.KNNG,
         )
         mark("rows", nbr_dev)
-        # download only the occupied prefix (the capacity tail is empty;
-        # the tunnel moves ~50-100 MB/s), and stream it WHILE the first
-        # connected-components pass runs on device
         n_used = int(pending.max()) + 1 if len(pending) else 1
-        slices = (nbr_dev[:n_used], nbrd_dev[:n_used], deg_dev[:n_used])
-        for a in slices:
-            try:
-                a.copy_to_host_async()
-            except Exception:
-                pass
         first_labels = None
         if prop.graph_type != GraphType.KNNG:
             # fresh build: graph membership == store validity, so the
             # device valid mask stands in for has_node (not host-set yet)
             first_labels = np.asarray(_cc_labels_device(nbr_dev, valid))
-        nbr_h, nbrd_h, deg_h = jax.device_get(slices)
-        mark("download")
-        graph.nbr_ids[:n_used] = nbr_h
-        graph.nbr_dist[:n_used] = nbrd_h
-        graph.degree[:n_used] = deg_h
         graph._has_node[:] = False
         graph._has_node[pending] = True
-        mark("host-store")
+        # the ~650 MB adjacency download (24 s of the round-2 66 s build
+        # over the ~50-100 MB/s tunnel) is DEFERRED: the device arrays are
+        # the pending source of truth, and the host copy materializes
+        # lazily on first host access (save/mutate/stats); search runs off
+        # the device mirror and never pays it
+        graph.defer_rows(nbr_dev, nbrd_dev, deg_dev, n_used)
+        mark("defer")
 
     if prop.truncation_threshold > 0:
         live = np.nonzero(graph._has_node)[0]

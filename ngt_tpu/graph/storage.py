@@ -22,18 +22,124 @@ import numpy as np
 INF = np.float32(np.inf)
 
 
+def merge_edge_rows(uniq, cur_i, cur_d, targets, srcs, dists, e_max):
+    """Bounded sorted merge of add-edges into existing rows (pure numpy).
+
+    ``targets`` must be sorted ascending with ``uniq = unique(targets)`` and
+    ``cur_i/cur_d`` the current rows aligned with ``uniq``.  Returns
+    ``(new_i, new_d, new_deg)`` aligned with ``uniq``.  Semantics match the
+    reference's ``addEdgeDeletingExcessEdges`` (Graph.h:888-934): sorted
+    insert, duplicate (target, src) pairs skipped, farthest edge dropped
+    when a row is full."""
+    starts = np.searchsorted(targets, uniq)
+    counts = np.diff(np.append(starts, len(targets)))
+    a_max = int(counts.max())
+    nt = len(uniq)
+    slot = np.arange(len(targets)) - np.repeat(starts, counts)
+    add_i = np.full((nt, a_max), -1, dtype=np.int32)
+    add_d = np.full((nt, a_max), INF, dtype=np.float32)
+    grp = np.repeat(np.arange(nt), counts)
+    add_i[grp, slot] = srcs
+    add_d[grp, slot] = dists
+
+    # drop adds already present in the row
+    dup = (add_i[:, :, None] == cur_i[:, None, :]).any(axis=2)
+    # ... and duplicate (target, src) pairs within this batch (keep first)
+    if a_max <= 128:
+        eq = add_i[:, :, None] == add_i[:, None, :]
+        lower = np.tril(np.ones((a_max, a_max), bool), -1)
+        dup |= (eq & lower[None]).any(axis=2)
+    else:
+        for r in range(nt):
+            seen: set = set()
+            for j in range(a_max):
+                v = int(add_i[r, j])
+                if v in seen:
+                    dup[r, j] = True
+                seen.add(v)
+    dup |= add_i < 0
+    add_d[dup] = INF
+    add_i[dup] = -1
+
+    merged_d = np.concatenate([cur_d, add_d], axis=1)
+    merged_i = np.concatenate([cur_i, add_i], axis=1)
+    order2 = np.argsort(merged_d, axis=1, kind="stable")[:, :e_max]
+    new_d = np.take_along_axis(merged_d, order2, axis=1)
+    new_i = np.take_along_axis(merged_i, order2, axis=1)
+    return new_i, new_d, (new_i >= 0).sum(axis=1).astype(np.int32)
+
+
 class GraphStore:
     def __init__(self, max_edges: int = 64, capacity: int = 1024):
         self.e_max = int(max_edges)
         cap = max(int(capacity), 16)
-        self.nbr_ids = np.full((cap, self.e_max), -1, dtype=np.int32)
-        self.nbr_dist = np.full((cap, self.e_max), INF, dtype=np.float32)
-        self.degree = np.zeros((cap,), dtype=np.int32)
+        self._h_ids = np.full((cap, self.e_max), -1, dtype=np.int32)
+        self._h_dist = np.full((cap, self.e_max), INF, dtype=np.float32)
+        self._h_deg = np.zeros((cap,), dtype=np.int32)
         self._has_node = np.zeros((cap,), dtype=bool)
+        #: (dev_ids, dev_dist, dev_deg, n_used) when the freshly-built
+        #: adjacency still lives only on device (bulk build defers the
+        #: ~650 MB download over the ~50-100 MB/s tunnel until something
+        #: actually needs the host copy — persistence, mutation, stats;
+        #: search runs off the device mirror and never pays it)
+        self._deferred = None
+
+    # Host arrays are exposed through materializing properties: ANY host
+    # read or mutation first completes the deferred device->host download,
+    # so every existing consumer stays correct without knowing about
+    # deferral.  Assignment (e.g. ensure_capacity realloc) bypasses it.
+    @property
+    def nbr_ids(self) -> np.ndarray:
+        self._materialize()
+        return self._h_ids
+
+    @nbr_ids.setter
+    def nbr_ids(self, v: np.ndarray) -> None:
+        self._h_ids = v
+
+    @property
+    def nbr_dist(self) -> np.ndarray:
+        self._materialize()
+        return self._h_dist
+
+    @nbr_dist.setter
+    def nbr_dist(self, v: np.ndarray) -> None:
+        self._h_dist = v
+
+    @property
+    def degree(self) -> np.ndarray:
+        self._materialize()
+        return self._h_deg
+
+    @degree.setter
+    def degree(self, v: np.ndarray) -> None:
+        self._h_deg = v
+
+    def defer_rows(self, dev_ids, dev_dist, dev_deg, n_used: int) -> None:
+        """Adopt device-resident adjacency as the pending source of truth
+        for rows [0, n_used); the host copy materializes lazily on first
+        host access."""
+        if n_used > self._h_ids.shape[0]:
+            raise ValueError("defer_rows: host capacity too small")
+        self._deferred = (dev_ids, dev_dist, dev_deg, int(n_used))
+
+    def _materialize(self) -> None:
+        if self._deferred is None:
+            return
+        import jax
+
+        dev_ids, dev_dist, dev_deg, n = self._deferred
+        self._deferred = None  # clear first: device_get may re-enter via GC
+        ids_h, dist_h, deg_h = jax.device_get(
+            (dev_ids[:n], dev_dist[:n], dev_deg[:n])
+        )
+        self._h_ids[:n] = ids_h
+        self._h_dist[:n] = dist_h
+        self._h_deg[:n] = deg_h
 
     @property
     def capacity(self) -> int:
-        return self.nbr_ids.shape[0]
+        return self._h_ids.shape[0]
 
     def ensure_capacity(self, n: int) -> bool:
         """Grow to hold node id n-1; returns True if a realloc happened."""
@@ -108,48 +214,14 @@ class GraphStore:
 
         order = np.argsort(targets, kind="stable")
         targets, srcs, dists = targets[order], srcs[order], dists[order]
-        uniq, starts, counts = np.unique(
-            targets, return_index=True, return_counts=True
+        uniq = np.unique(targets)
+        new_i, new_d, new_deg = merge_edge_rows(
+            uniq, self.nbr_ids[uniq], self.nbr_dist[uniq],
+            targets, srcs, dists, self.e_max,
         )
-        a_max = int(counts.max())
-        nt = len(uniq)
-        # slot of each add within its target group
-        slot = np.arange(len(targets)) - np.repeat(starts, counts)
-        add_i = np.full((nt, a_max), -1, dtype=np.int32)
-        add_d = np.full((nt, a_max), INF, dtype=np.float32)
-        grp = np.repeat(np.arange(nt), counts)
-        add_i[grp, slot] = srcs
-        add_d[grp, slot] = dists
-
-        cur_i = self.nbr_ids[uniq]
-        cur_d = self.nbr_dist[uniq]
-        # drop adds already present in the row
-        dup = (add_i[:, :, None] == cur_i[:, None, :]).any(axis=2)
-        # ... and duplicate (target, src) pairs within this batch (keep first)
-        if a_max <= 128:
-            eq = add_i[:, :, None] == add_i[:, None, :]
-            lower = np.tril(np.ones((a_max, a_max), bool), -1)
-            dup |= (eq & lower[None]).any(axis=2)
-        else:
-            for r in range(nt):
-                seen: set = set()
-                for j in range(a_max):
-                    v = int(add_i[r, j])
-                    if v in seen:
-                        dup[r, j] = True
-                    seen.add(v)
-        dup |= add_i < 0
-        add_d[dup] = INF
-        add_i[dup] = -1
-
-        merged_d = np.concatenate([cur_d, add_d], axis=1)
-        merged_i = np.concatenate([cur_i, add_i], axis=1)
-        order2 = np.argsort(merged_d, axis=1, kind="stable")[:, : self.e_max]
-        new_d = np.take_along_axis(merged_d, order2, axis=1)
-        new_i = np.take_along_axis(merged_i, order2, axis=1)
         self.nbr_ids[uniq] = new_i
         self.nbr_dist[uniq] = new_d
-        self.degree[uniq] = (new_i >= 0).sum(axis=1)
+        self.degree[uniq] = new_deg
         self._has_node[uniq] = True
 
     def truncate_rows(self, oids: np.ndarray, threshold: int) -> None:

@@ -93,6 +93,128 @@ class Index:
             self.build_index()
         return self._ext(ids)
 
+    def batch_insert_dedup(
+        self, vs, radius: float, build: bool = True
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Range-gated deduplicating insert — the reference's
+        ``createIndex(objects, ids, range, threadSize)`` (Index.cpp:1303-1352):
+        an object whose nearest indexed object, or nearest EARLIER batch
+        member that itself got inserted, lies within ``radius`` is NOT
+        inserted; it reports that object instead (InsertionResult.identical,
+        Index.h:284-290).  NGTQ grows its codebooks with exactly this call
+        (NGTQ/Quantizer.h:1681-1717).
+
+        Returns ``(ids, identical, dist)`` per input row: the external id
+        (the surviving object's id for deduplicated rows), the identical
+        flag, and the matched distance (0 for inserted rows).
+
+        TPU design: the store check is ONE exact device scan (the reference
+        resolves against its approximate in-build search results, so exact
+        is >= reference fidelity); the intra-batch check is a blocked
+        pairwise top-m, with serial resolution only over rows that actually
+        have a within-radius earlier neighbor."""
+        import jax
+        import jax.numpy as jnp
+
+        from ngt_tpu.ops import distances as D
+
+        qdtype = np.int64 if self.store.sparse else np.float32
+        vs = np.asarray(vs, dtype=qdtype)
+        if vs.ndim == 1:
+            vs = vs[None]
+        prepared = self.store._prepare(vs)
+        b = len(prepared)
+        radius = float(radius)
+
+        # nearest already-indexed object (exact device scan)
+        store_id = np.full(b, -1, np.int64)
+        store_d = np.full(b, np.inf, np.float32)
+        if len(self.store) > 0:
+            sid, sd = self.batch_linear_search(vs, size=1)
+            store_id = np.asarray(sid)[:, 0].astype(np.int64)
+            store_d = np.asarray(sd)[:, 0].astype(np.float32)
+            store_id[~np.isfinite(store_d)] = -1
+
+        # intra-batch top-m EARLIER neighbors (blocked pairwise, j < i mask)
+        m = int(min(16, max(b - 1, 1)))
+        inb_j = np.full((b, m), -1, np.int64)
+        inb_d = np.full((b, m), np.inf, np.float32)
+        if b > 1:
+            xb = jnp.asarray(prepared)
+            step = 4096
+            for s in range(0, b, step):
+                dd = D.pairwise(self.store.metric, xb[s : s + step], xb)
+                rows = jnp.arange(s, min(s + step, b))[:, None]
+                dd = jnp.where(jnp.arange(b)[None, :] < rows, dd, jnp.inf)
+                neg, jj = jax.lax.top_k(-dd, m)
+                d_h, j_h = jax.device_get((-neg, jj))
+                inb_d[s : s + step] = d_h
+                inb_j[s : s + step] = j_h
+            inb_j[~np.isfinite(inb_d)] = -1
+
+        identical = np.zeros(b, bool)
+        match_store = np.full(b, -1, np.int64)  # external id when matched
+        match_batch = np.full(b, -1, np.int64)  # batch row when matched
+        match_d = np.zeros(b, np.float32)
+        inserted = np.zeros(b, bool)
+        cand = (store_d <= radius) | (inb_d[:, 0] <= radius)
+        inserted[~cand] = True
+        for i in np.nonzero(cand)[0]:
+            best_d = store_d[i] if store_d[i] <= radius else np.inf
+            best_b = -1
+            saturated = True
+            for j, dj in zip(inb_j[i], inb_d[i]):
+                if dj > radius or not np.isfinite(dj):
+                    saturated = False
+                    break
+                if inserted[j]:
+                    # ascending list: the first inserted entry is the
+                    # nearest inserted one
+                    if dj < best_d:
+                        best_d, best_b = float(dj), int(j)
+                    saturated = False
+                    break
+            if saturated and m < b - 1:
+                # every top-m entry was a within-radius NON-inserted row:
+                # a farther inserted neighbor may hide beyond the window —
+                # exact re-check against all earlier inserted rows
+                prev = np.nonzero(inserted[:i])[0]
+                if len(prev):
+                    dall = np.asarray(
+                        D.pairwise(
+                            self.store.metric,
+                            jnp.asarray(prepared[i][None]),
+                            jnp.asarray(prepared[prev]),
+                        )
+                    )[0]
+                    jj = int(np.argmin(dall))
+                    if dall[jj] <= radius and dall[jj] < best_d:
+                        best_d, best_b = float(dall[jj]), int(prev[jj])
+            if np.isfinite(best_d):
+                identical[i] = True
+                match_d[i] = best_d
+                if best_b >= 0:
+                    match_batch[i] = best_b
+                else:
+                    match_store[i] = store_id[i]
+            else:
+                inserted[i] = True
+
+        new_ids = np.full(b, -1, np.int64)
+        rows = np.nonzero(inserted)[0]
+        if len(rows):
+            ids_int = self.store.batch_insert(vs[rows])
+            new_ids[rows] = np.asarray(self._ext(ids_int))
+            if build:
+                self.build_index()
+        out_ids = new_ids.copy()
+        mb = match_batch >= 0
+        out_ids[mb] = new_ids[match_batch[mb]]
+        ms = match_store >= 0
+        out_ids[ms] = match_store[ms]
+        dist = np.where(inserted, np.float32(0), match_d).astype(np.float32)
+        return out_ids, identical, dist
+
     def build_index(self, num_threads: int = 0) -> None:
         """Create graph nodes for all unindexed objects
         (Index::createIndex; Index.cpp:609-629). ``num_threads`` accepted for

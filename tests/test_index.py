@@ -361,3 +361,95 @@ def test_memory_mapped_open(tmp_path, rng):
     nid = ro.insert(np.zeros(8, np.float32))
     ro.build_index()
     assert ro.search(np.zeros(8, np.float32), size=1)[0][0] == nid
+
+
+def test_deferred_adjacency_materializes_consistently(rng):
+    """Bulk build leaves the adjacency device-resident (defer_rows); search
+    works pre-materialization, and the lazily-materialized host copy equals
+    the device mirror (incl. connectivity bridges merged device-side)."""
+    centers = rng.normal(size=(20, 16)).astype(np.float32) * 50
+    data = np.repeat(centers, 40, axis=0) + rng.normal(
+        size=(800, 16)
+    ).astype(np.float32) * 0.01
+    idx = ngt_tpu.create(None, dimension=16, edge_size_for_creation=8)
+    idx.batch_insert(data, build=True)
+    assert idx.graph._deferred is not None, "bulk build should defer"
+    mirror_nbr = np.asarray(idx._mirror.nbr)
+    q = data[::37] + np.float32(0.001)
+    ids, _ = idx.batch_search(q, size=5, epsilon=0.1)
+    assert idx.graph._deferred is not None, "search must not materialize"
+    # host access materializes; rows must match the device mirror
+    host_nbr = idx.graph.nbr_ids
+    assert idx.graph._deferred is None
+    n = idx.store.repository_size
+    np.testing.assert_array_equal(host_nbr[:n], mirror_nbr[:n])
+    assert (idx.graph.degree[:n] == (host_nbr[:n] >= 0).sum(axis=1)).all()
+    # rows stay distance-sorted after the deferred bridge merges
+    # (inf padding replaced by a finite sentinel: inf-inf diffs are nan)
+    d = np.where(np.isfinite(idx.graph.nbr_dist[:n]),
+                 idx.graph.nbr_dist[:n], np.float32(3.4e38))
+    assert (np.diff(d, axis=1) >= 0).all()
+    assert idx.verify() == []
+
+
+def test_merge_edge_rows_matches_add_edges(rng):
+    """The extracted numpy merge (used by the deferred bridge path) must be
+    bit-identical to GraphStore.add_edges on the same inputs."""
+    from ngt_tpu.graph.storage import GraphStore, merge_edge_rows
+
+    g1 = GraphStore(max_edges=6, capacity=64)
+    base_ids = rng.integers(0, 50, size=(20, 4)).astype(np.int32)
+    base_d = np.sort(rng.random((20, 4)).astype(np.float32), axis=1)
+    rows = np.arange(20)
+    g1.set_nodes(rows, base_ids, base_d)
+    targets = rng.integers(0, 20, size=40).astype(np.int64)
+    srcs = rng.integers(0, 50, size=40).astype(np.int32)
+    dists = rng.random(40).astype(np.float32)
+
+    order = np.argsort(targets, kind="stable")
+    t_s, s_s, d_s = targets[order], srcs[order], dists[order]
+    uniq = np.unique(t_s)
+    new_i, new_d, new_deg = merge_edge_rows(
+        uniq, g1.nbr_ids[uniq].copy(), g1.nbr_dist[uniq].copy(),
+        t_s, s_s, d_s, g1.e_max,
+    )
+    g1.add_edges(targets, srcs, dists)
+    np.testing.assert_array_equal(g1.nbr_ids[uniq], new_i)
+    np.testing.assert_array_equal(g1.nbr_dist[uniq], new_d)
+    np.testing.assert_array_equal(g1.degree[uniq], new_deg)
+
+
+def test_batch_insert_dedup(rng):
+    """Range-gated dedup insert (reference createIndex(objects, ids, range),
+    Index.cpp:1303-1352): within-radius rows are not inserted and report the
+    surviving object; chains resolve against INSERTED objects only."""
+    data = rng.normal(size=(200, 16)).astype(np.float32) * 10
+    idx = _build(data)
+    n0 = len(idx.store)
+
+    # batch: one exact dup of a stored row, one fresh, one intra-batch dup
+    fresh = rng.normal(size=(16,)).astype(np.float32) * 10 + 500
+    batch = np.stack([data[7], fresh, fresh + 0.001, data[100] + 300])
+    ids, ident, dist = idx.batch_insert_dedup(batch, radius=0.1)
+    assert ident.tolist() == [True, False, True, False]
+    assert ids[0] == 7  # external id of data[7] (0-based)
+    assert ids[2] == ids[1], "intra-batch dup maps to surviving row"
+    assert dist[0] <= 0.1 and dist[2] <= 0.1
+    assert len(idx.store) == n0 + 2
+    # deduped rows must NOT be searchable as separate objects
+    got, _ = idx.batch_search(fresh[None], size=1, epsilon=0.1)
+    assert got[0, 0] == ids[1]
+
+
+def test_batch_insert_dedup_chain(rng):
+    """A->A' (dup), A''->A' only: A' was never inserted, so A'' must insert
+    (the reference compares only against objects with real ids)."""
+    idx = ngt_tpu.create(None, dimension=8)
+    a = np.zeros(8, np.float32)
+    a1 = a.copy(); a1[0] = 0.9          # |a1-a| = 0.9 <= 1.0 -> dup of a
+    a2 = a.copy(); a2[0] = 1.8          # |a2-a1|=0.9 but a1 not inserted;
+    #                                     |a2-a| = 1.8 > 1.0 -> inserted
+    ids, ident, _ = idx.batch_insert_dedup(np.stack([a, a1, a2]), radius=1.0)
+    assert ident.tolist() == [False, True, False]
+    assert ids[1] == ids[0]
+    assert len(idx.store) == 2
