@@ -231,7 +231,7 @@ def bench_1m(base5k, timed, rng):
     best = None
     # exact traversal curve (opt out of routing for this arm)
     idx.prop.search_mode = "exact"
-    for eps in (0.02, 0.05, 0.1):
+    for eps in (0.0, 0.02, 0.05, 0.1):
         ids, dt = timed(
             lambda e=eps: idx.batch_search(queries, size=10, epsilon=e)
         )
@@ -243,9 +243,11 @@ def bench_1m(base5k, timed, rng):
         )
         if rec >= 0.95 and (best is None or qps > best):
             best = qps
-    # production path: auto-routed sq8 neighbor blocks
+    # production path: auto-routed sq8 neighbor blocks (the sub-0.02 arms
+    # matter: recall at eps=0.02 is already ~0.98, so the best qps at the
+    # 0.95 recall floor usually sits below it)
     idx.prop.search_mode = "auto"
-    for eps in (0.02, 0.05, 0.1):
+    for eps in (0.0, 0.01, 0.02, 0.05, 0.1):
         ids, dt = timed(
             lambda e=eps: idx.batch_search(queries, size=10, epsilon=e)
         )

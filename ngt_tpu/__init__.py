@@ -31,3 +31,21 @@ from ngt_tpu.index import Index, create, open_index  # noqa: F401
 from ngt_tpu.utils import enable_log, disable_log  # noqa: F401
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy: the distributed layer pulls in jax.sharding machinery that
+    # single-chip users never need at import time
+    if name == "ShardedIndex":
+        from ngt_tpu.parallel.sharding import ShardedIndex
+
+        return ShardedIndex
+    if name == "IVFPQIndex":
+        from ngt_tpu.quant.ivfpq import IVFPQIndex
+
+        return IVFPQIndex
+    if name == "QuantizedGraphIndex":
+        from ngt_tpu.quant.qgraph import QuantizedGraphIndex
+
+        return QuantizedGraphIndex
+    raise AttributeError(f"module 'ngt_tpu' has no attribute {name!r}")

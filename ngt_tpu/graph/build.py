@@ -394,6 +394,34 @@ def _cc_labels_device(nbr, valid):
     return labels
 
 
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _bridge_select(prow, rrow, rep_labels, piv_labels, metric):
+    """One fused program per connectivity pass: distances pivot x rep,
+    mask same-component / dead reps, per-pivot winner.  Fused because each
+    eager op is a separate ~0.3-1 s dispatch over the tunneled TPU — the
+    unfused pass made ensure_connected scale-INDEPENDENTLY slow (~30 s)."""
+    dd = D.pairwise(metric, prow, rrow)
+    bad = (
+        rep_labels[None, :] == piv_labels[:, None]
+    ) | (rep_labels < 0)[None, :]
+    dd = jnp.where(bad, jnp.inf, dd)
+    return jnp.argmin(dd, axis=1), jnp.min(dd, axis=1)
+
+
+@jax.jit
+def _gather_rows2(dev_i, dev_d, pad):
+    return dev_i[pad], dev_d[pad]
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_rows3(dev_i, dev_d, dev_g, pad, new_i, new_d, new_g):
+    return (
+        dev_i.at[pad].set(new_i),
+        dev_d.at[pad].set(new_d),
+        dev_g.at[pad].set(new_g.astype(dev_g.dtype)),
+    )
+
+
 def _bridge_deferred(graph: GraphStore, piv, tgt, td) -> jax.Array:
     """Apply bidirectional bridge edges to a graph whose adjacency is still
     device-resident (GraphStore.defer_rows): pull only the touched rows,
@@ -412,17 +440,21 @@ def _bridge_deferred(graph: GraphStore, piv, tgt, td) -> jax.Array:
     uniq = np.unique(targets)
     pad = _pad_ids(uniq, _bucket(len(uniq)))
     padj = jnp.asarray(pad)
-    cur_i, cur_d = jax.device_get((dev_i[padj], dev_d[padj]))
+    cur_i, cur_d = jax.device_get(_gather_rows2(dev_i, dev_d, padj))
     new_i, new_d, new_deg = merge_edge_rows(
         uniq, cur_i[: len(uniq)], cur_d[: len(uniq)],
         targets, srcs, dd, graph.e_max,
     )
     # scatter back via the padded id list (pad repeats uniq[0]; feeding it
-    # row 0's merged values keeps the scatter idempotent)
+    # row 0's merged values keeps the scatter idempotent).  Donated: three
+    # undonated .at[].set calls would copy ~650 MB of device buffers per
+    # connectivity pass.
     local = np.searchsorted(uniq, pad)
-    dev_i = dev_i.at[padj].set(jnp.asarray(new_i[local]))
-    dev_d = dev_d.at[padj].set(jnp.asarray(new_d[local]))
-    dev_g = dev_g.at[padj].set(jnp.asarray(new_deg[local]).astype(dev_g.dtype))
+    dev_i, dev_d, dev_g = _scatter_rows3(
+        dev_i, dev_d, dev_g, padj,
+        jnp.asarray(new_i[local]), jnp.asarray(new_d[local]),
+        jnp.asarray(new_deg[local]),
+    )
     graph._deferred = (dev_i, dev_d, dev_g, n_used)
     return dev_i
 
@@ -493,6 +525,7 @@ def ensure_connected(
         )
         labels = labels.astype(np.int64)
     comps = len(np.unique(labels[labels >= 0]))
+    rrow = None  # rep rows upload once, reused across passes
     for _ in range(max_passes):
         if comps <= 1:
             break
@@ -512,20 +545,22 @@ def ensure_connected(
         if len(reps) == 0:
             break
         rep_labels = labels[np.clip(reps, 0, n - 1)]
-        prow = jnp.asarray(store._x[pivots])
-        rrow = jnp.asarray(store._x[reps])
-        # mask + argmin on device: pulling the [pivots, reps] distance
-        # matrix costs ~0.5 GB over the tunnel at 1M scale (5k pivots x
-        # 31k reps); the per-pivot winner is 40 KB
-        dd = D.pairwise(metric, prow, rrow)
-        bad = (
-            jnp.asarray(rep_labels)[None, :]
-            == jnp.asarray(labels[pivots])[:, None]
-        ) | jnp.asarray(rep_labels < 0)[None, :]
-        dd = jnp.where(bad, jnp.inf, dd)
+        # one fused dispatch per pass (pivot count bucketed to bound
+        # compiles): distances + same-component mask + per-pivot winner
+        # stay on device — the winner is 40 KB vs the ~0.5 GB distance
+        # matrix, and fusing avoids ~15 eager tunnel round trips per pass
+        npv = len(pivots)
+        pivpad = _pad_ids(pivots, _bucket(npv))
+        if rrow is None:
+            rrow = jnp.asarray(store._x[reps])
         tgt_idx, td = jax.device_get(
-            (jnp.argmin(dd, axis=1), jnp.min(dd, axis=1))
+            _bridge_select(
+                jnp.asarray(store._x[pivpad]), rrow,
+                jnp.asarray(rep_labels), jnp.asarray(labels[pivpad]),
+                metric,
+            )
         )
+        tgt_idx, td = tgt_idx[:npv], td[:npv]
         okm = np.isfinite(td)
         if not okm.any():
             break

@@ -268,3 +268,36 @@ def test_sharded_recall_parity_with_single_device():
     assert rec_mesh >= min(rec_single, 0.98) - 0.02, (
         f"sharded recall {rec_mesh} vs single-device {rec_single}"
     )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_recall_100k():
+    """100k-scale 8-device fan-out: sharded search must hold >= 0.95
+    recall@10 against exact GT at moderate epsilon (the operating point the
+    1M single-chip deployment uses)."""
+    import ngt_tpu
+    from ngt_tpu.parallel.sharding import ShardedIndex
+    from ngt_tpu.ops.bruteforce import recall_at_k
+
+    n = 100_000
+    dim, k = 32, 10
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(256, dim)).astype(np.float32) * 4
+    data = (
+        centers[rng.integers(0, 256, size=n)]
+        + rng.normal(size=(n, dim)).astype(np.float32)
+    )
+    queries = (
+        centers[rng.integers(0, 256, size=128)]
+        + rng.normal(size=(128, dim)).astype(np.float32)
+    )
+    mesh = make_mesh(8)
+    sidx = ShardedIndex.build(data, mesh=mesh, metric=DistanceType.L2)
+
+    gt = ngt_tpu.create(None, dimension=dim)
+    gt.batch_insert(data, build=False)
+    gt_ids, _ = gt.batch_linear_search(queries, size=k)
+
+    ids, _ = sidx.batch_search(queries, size=k, epsilon=0.1)
+    rec = recall_at_k(np.asarray(ids), np.asarray(gt_ids), k)
+    assert rec >= 0.95, f"sharded recall@10 {rec} at n={n}"
