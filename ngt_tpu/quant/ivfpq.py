@@ -62,45 +62,109 @@ INF = np.float32(np.inf)
 BUCKET_LEN = 128
 
 
-@functools.partial(
-    jax.jit, static_argnames=("k", "m", "packed")
-)
+@functools.partial(jax.jit, static_argnames=("k",))
 def _probe_lists(
-    cent_buckets, bucket_ids, bucket_codes, lut_flat, probe,
-    *, k, m, packed,
+    cent_buckets, bucket_ids, bucket_vals, bucket_norm, scale, qr, probe,
+    *, k,
 ):
-    """Gather the probed centroids' bucket chains and LUT-score every
-    record.  cent_buckets [C, Bc]; bucket_ids [NB, L]; bucket_codes
-    [NB, L, Mp]; lut_flat [B, P, M*K]; probe [B, P].  Returns the
-    approximate top-k (ids, squared distances)."""
+    """Score the probed centroids' bucket chains on the MXU.
+
+    ADC scoring is a LUT gather in the reference (Quantizer.h:957-1095,
+    vpshufb); per-element gathers are the one thing a TPU does at scalar
+    speed (measured 0.5 s/probe at 200k scale).  But the LUT sum is
+    algebraically ``sum_m lut[b,m,code] = |qr|^2 - 2 qr.recon + |recon|^2``
+    with ``recon`` the PQ-decoded record, so the whole aggregation becomes
+    a contiguous 128 B row gather (the HBM-friendly access pattern) plus a
+    batched matvec — MXU work instead of scalar work (~40x faster).
+
+    cent_buckets [C, Bc]; bucket_ids [NB, L]; bucket_vals [NB, L, d] int8
+    (decoded residuals, scaled); bucket_norm [NB, L] f32 = |recon|^2;
+    qr [B, P, d] query residuals; probe [B, P].  Scans over the P probes
+    with an incremental top-k merge (all-probes-at-once would materialize
+    [B, P, Bc, L] plus the gathered rows — HBM-hostile on skewed
+    clusters); each record belongs to exactly one centroid list, so the
+    running merge is exact."""
     b, p = probe.shape
-    kk = lut_flat.shape[2] // m
-    bsel = jnp.take(cent_buckets, probe, axis=0)          # [B, P, Bc]
-    ok_b = bsel >= 0
-    bsafe = jnp.clip(bsel, 0, bucket_ids.shape[0] - 1)
-    ids = jnp.take(bucket_ids, bsafe, axis=0)             # [B, P, Bc, L]
-    codes = jnp.take(bucket_codes, bsafe, axis=0)         # [B, P, Bc, L, Mp]
-    if packed:
-        lo = (codes & jnp.uint8(0x0F)).astype(jnp.int32)
-        hi = (codes >> jnp.uint8(4)).astype(jnp.int32)
-        codes = jnp.stack([lo, hi], axis=5).reshape(
-            *codes.shape[:4], 2 * codes.shape[4]
-        )[..., :m]
-    else:
-        codes = codes.astype(jnp.int32)
-    lut = lut_flat.reshape(b, p, 1, 1, m, kk)
-    vals = jnp.take_along_axis(lut, codes[..., None], axis=5)[..., 0]
-    d2 = jnp.sum(vals, axis=-1)                           # [B, P, Bc, L]
-    ok = (ids >= 0) & ok_b[..., None]
-    d2 = jnp.where(ok, d2, jnp.inf)
-    flat_d = d2.reshape(b, -1)
-    flat_i = ids.reshape(b, -1)
-    kcap = min(k, flat_d.shape[1])
-    neg, sel = jax.lax.top_k(-flat_d, kcap)
-    out_i = jnp.take_along_axis(flat_i, sel, axis=1)
-    out_d = -neg
+    bc = cent_buckets.shape[1]
+    ll = bucket_ids.shape[1]
+    kcap = min(k, p * bc * ll)
+
+    def body(carry, pi):
+        best_d, best_i = carry
+        pr = jax.lax.dynamic_index_in_dim(probe, pi, axis=1, keepdims=False)
+        qrp = jax.lax.dynamic_index_in_dim(qr, pi, axis=1, keepdims=False)
+        qsq = jnp.sum(qrp * qrp, axis=1)                   # [B]
+        bsel = jnp.take(cent_buckets, pr, axis=0)          # [B, Bc]
+        ok_b = bsel >= 0
+        bsafe = jnp.clip(bsel, 0, bucket_ids.shape[0] - 1)
+        ids = jnp.take(bucket_ids, bsafe, axis=0)          # [B, Bc, L]
+        vals = jnp.take(bucket_vals, bsafe, axis=0)        # [B, Bc, L, d] i8
+        norm = jnp.take(bucket_norm, bsafe, axis=0)        # [B, Bc, L]
+        dot = jnp.einsum(
+            "brld,bd->brl",
+            vals.astype(jnp.bfloat16),
+            qrp.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+        d2 = qsq[:, None, None] - (2.0 * scale) * dot + norm
+        ok = (ids >= 0) & ok_b[..., None]
+        d2 = jnp.where(ok, d2, jnp.inf)
+        cat_d = jnp.concatenate([best_d, d2.reshape(b, -1)], axis=1)
+        cat_i = jnp.concatenate([best_i, ids.reshape(b, -1)], axis=1)
+        neg, sel = jax.lax.top_k(-cat_d, kcap)
+        return (-neg, jnp.take_along_axis(cat_i, sel, axis=1)), None
+
+    init = (
+        jnp.full((b, kcap), jnp.inf, _F32),
+        jnp.full((b, kcap), -1, jnp.int32),
+    )
+    (out_d, out_i), _ = jax.lax.scan(
+        body, init, jnp.arange(p, dtype=jnp.int32)
+    )
     out_i = jnp.where(jnp.isfinite(out_d), out_i, -1)
     return out_i, out_d
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "k"))
+def _search_approx(
+    centroids, cent_buckets, bucket_ids, bucket_vals, bucket_norm, scale,
+    qd, *, nprobe, k,
+):
+    """Whole approximate stage in ONE device program: coarse probe +
+    query residuals + MXU bucket scoring.  Over the tunneled TPU each
+    eager op is a separate ~0.2-1 s dispatch; the unfused pipeline spent
+    ~4 s/call on round trips alone."""
+    cd = D.pairwise(DistanceType.L2, qd, centroids)
+    _, probe = jax.lax.top_k(-cd, nprobe)                  # [B, P]
+    cent_rows = jnp.take(centroids, probe, axis=0)         # [B, P, D]
+    qr = qd[:, None, :] - cent_rows                        # [B, P, D]
+    ids, dists = _probe_lists(
+        cent_buckets, bucket_ids, bucket_vals, bucket_norm, scale,
+        qr, probe, k=k,
+    )
+    return probe, ids, dists
+
+
+@functools.partial(jax.jit, static_argnames=("size", "metric"))
+def _rerank_rows(qd, rows, ids, *, size, metric):
+    """Exact re-rank of gathered candidate rows (one device program)."""
+    dd = D.gathered(metric, qd, rows)
+    dd = jnp.where(ids >= 0, dd, jnp.inf)
+    neg, sel = jax.lax.top_k(-dd, min(size, ids.shape[1]))
+    out_i = jnp.take_along_axis(ids, sel, axis=1)
+    return jnp.where(jnp.isfinite(-neg), out_i, -1), -neg
+
+
+@functools.partial(jax.jit, static_argnames=("size", "metric"))
+def _rerank_gather(qd, x, ids, *, size, metric):
+    """Exact re-rank with the raw-row gather fused in (device raw store)."""
+    rows = jnp.take(x, jnp.clip(ids, 0, x.shape[0] - 1), axis=0)
+    return _rerank_rows(qd, rows, ids, size=size, metric=metric)
+
+
+@jax.jit
+def _assign_chunk(xc, cents):
+    return jnp.argmin(D.pairwise(DistanceType.L2, xc, cents), axis=1)
 
 
 class IVFPQIndex:
@@ -217,14 +281,17 @@ class IVFPQIndex:
                 else np.concatenate([self._raw, x], axis=0)
             )
 
-    def _encode_chunked(self, resid: np.ndarray) -> np.ndarray:
-        """Encode residuals in ~1M-row device chunks (a single 10M-row
-        encode would stage >5 GB on device)."""
+    def _encode_assigned(self, x: np.ndarray, assign: np.ndarray) -> np.ndarray:
+        """Encode ``x - centroids[assign]`` in ~1M-row device chunks: a
+        single 10M-row encode would stage >5 GB on device, and
+        materializing the full residual matrix on host costs 2x the corpus
+        in transient RSS."""
         mp = (self.pq.m + 1) // 2 if self.packed else self.pq.m
-        out = np.empty((len(resid), mp), np.uint8)
+        out = np.empty((len(x), mp), np.uint8)
         step = 1 << 20
-        for s in range(0, len(resid), step):
-            c = self.pq.encode(resid[s : s + step])
+        for s in range(0, len(x), step):
+            resid = x[s : s + step] - self.centroids[assign[s : s + step]]
+            c = self.pq.encode(resid)
             if self.packed:
                 c = pack_codes4(c)
             out[s : s + step] = c
@@ -238,8 +305,7 @@ class IVFPQIndex:
         x = np.concatenate(self._pending, axis=0)
         self._pending = []
         assign = self._assign_to_centroids(x)
-        resid = x - self.centroids[assign]
-        codes = self._encode_chunked(resid)
+        codes = self._encode_assigned(x, assign)
         self._assign = np.concatenate([self._assign, assign])
         self._codes = (
             codes if self._codes.size == 0
@@ -251,11 +317,19 @@ class IVFPQIndex:
     def _assign_to_centroids(self, x: np.ndarray) -> np.ndarray:
         cd = jnp.asarray(self.centroids)
         out = np.empty(len(x), np.int32)
-        for s in range(0, len(x), 65536):
-            d = D.pairwise(
-                DistanceType.L2, jnp.asarray(x[s : s + 65536]), cd
-            )
-            out[s : s + 65536] = np.asarray(jnp.argmin(d, axis=1))
+        step = 65536
+        for s in range(0, len(x), step):
+            chunk = x[s : s + step]
+            if len(chunk) < step and len(x) > step:
+                # pad the ragged tail to the fixed chunk shape (one compile)
+                pad = np.zeros((step, x.shape[1]), x.dtype)
+                pad[: len(chunk)] = chunk
+                a = np.asarray(_assign_chunk(jnp.asarray(pad), cd))
+                out[s:] = a[: len(chunk)]
+            else:
+                out[s : s + step] = np.asarray(
+                    _assign_chunk(jnp.asarray(chunk), cd)
+                )
         return out
 
     def build(self, kmeans_iters: int = 15, seed: int = 0) -> None:
@@ -276,12 +350,13 @@ class IVFPQIndex:
         c = min(self.n_centroids, len(train))
         self.centroids, _ = kmeans(train, c, iters=kmeans_iters, seed=seed)
         assign = self._assign_to_centroids(x)
-        resid = x - self.centroids[assign]
-        rs = resid
-        if len(rs) > self.train_sample:
-            rs = rs[rng.choice(len(rs), self.train_sample, replace=False)]
+        if len(x) > self.train_sample:
+            pick = rng.choice(len(x), self.train_sample, replace=False)
+            rs = x[pick] - self.centroids[assign[pick]]
+        else:
+            rs = x - self.centroids[assign]
         self.pq.fit(rs, center=False)
-        codes = self._encode_chunked(resid)
+        codes = self._encode_assigned(x, assign)
         self._assign = assign
         self._codes = codes
         self._raw = None
@@ -322,9 +397,10 @@ class IVFPQIndex:
             cent_buckets[ci, : nbuckets[ci]] = np.arange(
                 bucket_start[ci], bucket_start[ci] + nbuckets[ci]
             )
-        mp = self._codes.shape[1]
         bucket_ids = np.full((nb, BUCKET_LEN), -1, np.int32)
-        bucket_codes = np.zeros((nb, BUCKET_LEN, mp), np.uint8)
+        d = self.dimension
+        bucket_vals = np.zeros((nb, BUCKET_LEN, d), np.int8)
+        bucket_norm = np.zeros((nb, BUCKET_LEN), np.float32)
         order = np.argsort(self._assign, kind="stable")
         sorted_assign = self._assign[order]
         starts = np.searchsorted(sorted_assign, np.arange(c))
@@ -332,12 +408,34 @@ class IVFPQIndex:
         brow = bucket_start[sorted_assign] + slot // BUCKET_LEN
         bcol = slot % BUCKET_LEN
         bucket_ids[brow, bcol] = order.astype(np.int32)
-        bucket_codes[brow, bcol] = self._codes[order]
+        # PQ-decoded residuals as int8 rows: ADC scoring == L2(qr, recon),
+        # so storing recon (scaled to int8) turns the LUT aggregation into
+        # an MXU matvec over contiguous 128 B rows (see _probe_lists).
+        # The 4-bit codes stay the authoritative/persisted format.
+        shift = self.pq.mean.reshape(self.pq.m, self.pq.dsub)
+        entry_max = float(
+            np.abs(self.pq.codebooks + shift[:, None, :]).max()
+        )
+        scale = max(entry_max, 1e-12) / 127.0
+        step = 1 << 19
+        for s in range(0, n, step):
+            sel = order[s : s + step]
+            codes = self._codes[sel]
+            if self.packed:
+                codes = unpack_codes4(codes, self.pq.m)
+            recon = self.pq.decode(codes)
+            v8 = np.clip(np.rint(recon / scale), -127, 127).astype(np.int8)
+            bucket_vals[brow[s : s + step], bcol[s : s + step]] = v8
+            bucket_norm[brow[s : s + step], bcol[s : s + step]] = (
+                scale * scale
+            ) * np.sum(v8.astype(np.float32) ** 2, axis=1)
         self._dev = {
             "centroids": jnp.asarray(self.centroids),
             "cent_buckets": jnp.asarray(cent_buckets),
             "bucket_ids": jnp.asarray(bucket_ids),
-            "bucket_codes": jnp.asarray(bucket_codes),
+            "bucket_vals": jnp.asarray(bucket_vals),
+            "bucket_norm": jnp.asarray(bucket_norm),
+            "scale": np.float32(scale),
             "x": (
                 jnp.asarray(np.asarray(self._raw))
                 if self.raw_store == "device" and self._raw is not None
@@ -396,33 +494,34 @@ class IVFPQIndex:
         )
 
         qd = jnp.asarray(q)
-        cd = D.pairwise(DistanceType.L2, qd, dev["centroids"])
-        _, probe = jax.lax.top_k(-cd, nprobe)              # [B, P]
-
         if mode == "exact":
+            cd = D.pairwise(DistanceType.L2, qd, dev["centroids"])
+            _, probe = jax.lax.top_k(-cd, nprobe)
             return self._search_exact(qd, probe, size)
 
-        # per-probe residual LUTs (PQ fit on residuals; mean is zero)
-        from ngt_tpu.quant.pq import _lut
-
-        cent_rows = jnp.take(dev["centroids"], probe, axis=0)  # [B, P, D]
-        qr = (qd[:, None, :] - cent_rows).reshape(b * nprobe, -1)
-        lut = _lut(qr, jnp.asarray(self.pq.codebooks), self.pq.m)
-        lut_flat = lut.reshape(b, nprobe, -1)
-
-        ids, dists = _probe_lists(
-            dev["cent_buckets"], dev["bucket_ids"], dev["bucket_codes"],
-            lut_flat, probe, k=k_exp, m=self.pq.m, packed=self.packed,
+        # stage A (one dispatch): probe + residuals + MXU bucket scoring
+        probe, ids, dists = _search_approx(
+            dev["centroids"], dev["cent_buckets"], dev["bucket_ids"],
+            dev["bucket_vals"], dev["bucket_norm"], dev["scale"],
+            qd, nprobe=nprobe, k=k_exp,
         )
         if refine:
-            ids_h = np.asarray(ids)
-            rows = self._raw_rows(ids_h)
-            dd = D.gathered(self.metric, qd, rows)
-            dd = jnp.where(jnp.asarray(ids_h) >= 0, dd, jnp.inf)
-            neg, sel = jax.lax.top_k(-dd, size)
-            out_i = jnp.take_along_axis(jnp.asarray(ids_h), sel, axis=1)
-            out_d = -neg
-            out_i = jnp.where(jnp.isfinite(out_d), out_i, -1)
+            # stage B (one dispatch): exact re-rank; raw-row gather fused
+            # on device when raw lives there, host memmap gather otherwise
+            if dev["x"] is not None:
+                out_i, out_d = _rerank_gather(
+                    qd, dev["x"], ids, size=size, metric=self.metric
+                )
+            else:
+                ids_h = np.asarray(ids)
+                if self._raw is None:
+                    raise ValueError("refinement needs raw vectors")
+                safe = np.clip(ids_h, 0, self._raw.shape[0] - 1)
+                rows = jnp.asarray(np.asarray(self._raw)[safe])
+                out_i, out_d = _rerank_rows(
+                    qd, rows, jnp.asarray(ids_h), size=size,
+                    metric=self.metric,
+                )
             return np.asarray(out_i), np.asarray(out_d)
         ids = ids[:, :size]
         dists = jnp.sqrt(jnp.maximum(dists[:, :size], 0))

@@ -23,6 +23,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def rss_gb() -> float:
     with open("/proc/self/status") as fh:
@@ -132,53 +134,67 @@ def main():
         np.float32
     )
 
-    gt = exact_gt(corpus, queries, 10, cache, f"{args.n//1_000_000}m")
+    gt = exact_gt(
+        corpus, queries, 10, cache, f"{args.n//1_000_000}m_q{args.queries}"
+    )
 
     raw_path = os.path.join(cache, f"ivfpq_raw_{args.n//1_000_000}m.f32")
-    idx = IVFPQIndex(
-        dimension=128,
-        n_centroids=args.centroids,
-        dsub=2,
-        ksub=16,
-        raw_store="mmap",
-        raw_path=raw_path,
+    idx_dir = os.path.join(
+        cache, f"ivfpq_idx_{args.n//1_000_000}m_c{args.centroids}"
     )
-    t0 = time.time()
-    step = 1 << 20
-    for s in range(0, args.n, step):
-        idx.batch_insert(np.asarray(corpus[s : s + step], np.float32))
-    idx.build()
-    build_s = time.time() - t0
+    if os.path.exists(os.path.join(idx_dir, "ivfpq.json")):
+        t0 = time.time()
+        idx = IVFPQIndex.open(idx_dir)
+        print(f"# reopened in {time.time()-t0:.0f}s", file=sys.stderr)
+    else:
+        idx = IVFPQIndex(
+            dimension=128,
+            n_centroids=args.centroids,
+            dsub=2,
+            ksub=16,
+            raw_store="mmap",
+            raw_path=raw_path,
+        )
+        t0 = time.time()
+        step = 1 << 20
+        for s in range(0, args.n, step):
+            idx.batch_insert(np.asarray(corpus[s : s + step], np.float32))
+        idx.build()
+        build_s = time.time() - t0
+        idx.save(idx_dir)
+        print(f"# build={build_s:.0f}s", file=sys.stderr)
     rep = idx.memory_report()
     print(
-        f"# build={build_s:.0f}s n={idx.size} rss_peak={rss_gb():.1f}GB "
+        f"# n={idx.size} rss_peak={rss_gb():.1f}GB "
         f"codes={rep['codes_bytes']/1e6:.0f}MB ids={rep['ids_bytes']/1e6:.0f}MB "
         f"raw={rep['raw_store']}(disk)",
         file=sys.stderr,
     )
 
-    qchunk = 256  # bounds the [B, P, Bc, L, M] probe tensor on device
-    for nprobe in (8, 16, 32):
-        for mode in ("refine",):
-            # warm
-            idx.batch_search(
-                queries[:qchunk], size=10, nprobe=nprobe, mode=mode
+    qchunk = 256  # bounds the per-probe gather tensors on device
+    for nprobe, exp in ((8, 3.0), (16, 3.0), (16, 10.0), (16, 30.0),
+                        (32, 30.0)):
+        # warm
+        idx.batch_search(
+            queries[:qchunk], size=10, nprobe=nprobe,
+            result_expansion=exp, mode="refine",
+        )
+        t0 = time.time()
+        out = []
+        for s in range(0, len(queries), qchunk):
+            ids, _ = idx.batch_search(
+                queries[s : s + qchunk], size=10, nprobe=nprobe,
+                result_expansion=exp, mode="refine",
             )
-            t0 = time.time()
-            out = []
-            for s in range(0, len(queries), qchunk):
-                ids, _ = idx.batch_search(
-                    queries[s : s + qchunk], size=10, nprobe=nprobe, mode=mode
-                )
-                out.append(ids)
-            dt = time.time() - t0
-            ids = np.concatenate(out, axis=0)
-            rec = recall_at_k(ids, gt, 10)
-            print(
-                f"# ivfpq-{mode} nprobe={nprobe} recall@10={rec:.4f} "
-                f"qps={len(queries)/dt:.0f}",
-                file=sys.stderr,
-            )
+            out.append(ids)
+        dt = time.time() - t0
+        ids = np.concatenate(out, axis=0)
+        rec = recall_at_k(ids, gt, 10)
+        print(
+            f"# ivfpq-refine nprobe={nprobe} exp={exp:g} "
+            f"recall@10={rec:.4f} qps={len(queries)/dt:.0f}",
+            file=sys.stderr,
+        )
     errs = idx.verify()
     print(f"# verify: {errs if errs else 'ok'}", file=sys.stderr)
     print(f"# rss_peak={rss_gb():.1f}GB", file=sys.stderr)
