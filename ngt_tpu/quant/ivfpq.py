@@ -380,14 +380,25 @@ class IVFPQIndex:
         self.build(kmeans_iters=kmeans_iters, seed=seed)
 
     # -------------------------------------------------------------- device --
-    def _device(self):
-        """Bucketed inverted lists on device (see module docstring)."""
-        if self._dev is not None:
-            return self._dev
+    def host_blocks(self, record_sel: np.ndarray | None = None) -> dict:
+        """Host-side bucketed inverted lists over ``record_sel`` (global
+        record ids; None = all records).  Shared by the single-device
+        mirror and the mesh-sharded layout (parallel.sharded_ivfpq), which
+        calls it once per shard with that shard's records.
+
+        PQ-decoded residuals are stored as int8 rows: ADC scoring ==
+        L2(qr, recon), so storing recon (scaled to int8) turns the LUT
+        aggregation into an MXU matvec over contiguous 128 B rows (see
+        _probe_lists).  The 4-bit codes stay the authoritative/persisted
+        format."""
         self._flush_pending()
         c = len(self.centroids)
-        n = len(self._assign)
-        counts = np.bincount(self._assign, minlength=c)
+        if record_sel is None:
+            record_sel = np.arange(len(self._assign), dtype=np.int64)
+        else:
+            record_sel = np.asarray(record_sel, np.int64)
+        assign = self._assign[record_sel]
+        counts = np.bincount(assign, minlength=c)
         nbuckets = np.maximum((counts + BUCKET_LEN - 1) // BUCKET_LEN, 0)
         b_cap = max(int(nbuckets.max()), 1)
         nb = max(int(nbuckets.sum()), 1)
@@ -401,24 +412,20 @@ class IVFPQIndex:
         d = self.dimension
         bucket_vals = np.zeros((nb, BUCKET_LEN, d), np.int8)
         bucket_norm = np.zeros((nb, BUCKET_LEN), np.float32)
-        order = np.argsort(self._assign, kind="stable")
+        order = record_sel[np.argsort(assign, kind="stable")]
         sorted_assign = self._assign[order]
         starts = np.searchsorted(sorted_assign, np.arange(c))
-        slot = np.arange(n) - starts[sorted_assign]
+        slot = np.arange(len(order)) - starts[sorted_assign]
         brow = bucket_start[sorted_assign] + slot // BUCKET_LEN
         bcol = slot % BUCKET_LEN
         bucket_ids[brow, bcol] = order.astype(np.int32)
-        # PQ-decoded residuals as int8 rows: ADC scoring == L2(qr, recon),
-        # so storing recon (scaled to int8) turns the LUT aggregation into
-        # an MXU matvec over contiguous 128 B rows (see _probe_lists).
-        # The 4-bit codes stay the authoritative/persisted format.
         shift = self.pq.mean.reshape(self.pq.m, self.pq.dsub)
         entry_max = float(
             np.abs(self.pq.codebooks + shift[:, None, :]).max()
         )
         scale = max(entry_max, 1e-12) / 127.0
         step = 1 << 19
-        for s in range(0, n, step):
+        for s in range(0, len(order), step):
             sel = order[s : s + step]
             codes = self._codes[sel]
             if self.packed:
@@ -429,13 +436,26 @@ class IVFPQIndex:
             bucket_norm[brow[s : s + step], bcol[s : s + step]] = (
                 scale * scale
             ) * np.sum(v8.astype(np.float32) ** 2, axis=1)
+        return {
+            "cent_buckets": cent_buckets,
+            "bucket_ids": bucket_ids,
+            "bucket_vals": bucket_vals,
+            "bucket_norm": bucket_norm,
+            "scale": np.float32(scale),
+        }
+
+    def _device(self):
+        """Bucketed inverted lists on device (see module docstring)."""
+        if self._dev is not None:
+            return self._dev
+        hb = self.host_blocks()
         self._dev = {
             "centroids": jnp.asarray(self.centroids),
-            "cent_buckets": jnp.asarray(cent_buckets),
-            "bucket_ids": jnp.asarray(bucket_ids),
-            "bucket_vals": jnp.asarray(bucket_vals),
-            "bucket_norm": jnp.asarray(bucket_norm),
-            "scale": np.float32(scale),
+            "cent_buckets": jnp.asarray(hb["cent_buckets"]),
+            "bucket_ids": jnp.asarray(hb["bucket_ids"]),
+            "bucket_vals": jnp.asarray(hb["bucket_vals"]),
+            "bucket_norm": jnp.asarray(hb["bucket_norm"]),
+            "scale": hb["scale"],
             "x": (
                 jnp.asarray(np.asarray(self._raw))
                 if self.raw_store == "device" and self._raw is not None
