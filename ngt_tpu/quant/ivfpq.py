@@ -157,8 +157,11 @@ def _rerank_rows(qd, rows, ids, *, size, metric):
 
 @functools.partial(jax.jit, static_argnames=("size", "metric"))
 def _rerank_gather(qd, x, ids, *, size, metric):
-    """Exact re-rank with the raw-row gather fused in (device raw store)."""
+    """Exact re-rank with the raw-row gather fused in (device raw store;
+    ``x`` may be a lossless uint8 mirror — cast after the gather so HBM
+    traffic stays 1 B/component)."""
     rows = jnp.take(x, jnp.clip(ids, 0, x.shape[0] - 1), axis=0)
+    rows = rows.astype(jnp.float32)
     return _rerank_rows(qd, rows, ids, size=size, metric=metric)
 
 
@@ -184,6 +187,7 @@ class IVFPQIndex:
         raw_path: str | None = None,  # backing file for raw_store="mmap"
         rebuild_factor: float = 2.0,
         train_sample: int = 262_144,
+        device_refine_max_bytes: int = 4 << 30,
     ):
         self.dimension = dimension
         self.metric = DistanceType(metric)
@@ -196,6 +200,7 @@ class IVFPQIndex:
         self.raw_path = raw_path
         self.rebuild_factor = float(rebuild_factor)
         self.train_sample = int(train_sample)
+        self.device_refine_max_bytes = int(device_refine_max_bytes)
         self.centroids: np.ndarray | None = None
         self._raw = None                       # ndarray | memmap | None
         self._pending: list[np.ndarray] = []   # inserted, not yet encoded
@@ -444,11 +449,38 @@ class IVFPQIndex:
             "scale": np.float32(scale),
         }
 
+    def _raw_as_u8(self) -> np.ndarray | None:
+        """Lossless uint8 view of the raw store, or None.  Integral
+        [0, 255] corpora (real SIFT descriptors) get a device-resident
+        refine mirror at 1 B/component — without it every refined search
+        pays a host memmap gather + candidate-row upload."""
+        if self._raw is None:
+            return None
+        n = self._raw.shape[0]
+        if n * self.dimension > self.device_refine_max_bytes:
+            return None
+        out = np.empty((n, self.dimension), np.uint8)
+        step = 1 << 20
+        for s in range(0, n, step):
+            c = np.asarray(self._raw[s : s + step])
+            r = np.rint(c)
+            if not (
+                (c == r).all() and r.min() >= 0.0 and r.max() <= 255.0
+            ):
+                return None
+            out[s : s + step] = r.astype(np.uint8)
+        return out
+
     def _device(self):
         """Bucketed inverted lists on device (see module docstring)."""
         if self._dev is not None:
             return self._dev
         hb = self.host_blocks()
+        if self.raw_store == "device" and self._raw is not None:
+            x_dev = jnp.asarray(np.asarray(self._raw))
+        else:
+            u8 = self._raw_as_u8()
+            x_dev = jnp.asarray(u8) if u8 is not None else None
         self._dev = {
             "centroids": jnp.asarray(self.centroids),
             "cent_buckets": jnp.asarray(hb["cent_buckets"]),
@@ -456,11 +488,7 @@ class IVFPQIndex:
             "bucket_vals": jnp.asarray(hb["bucket_vals"]),
             "bucket_norm": jnp.asarray(hb["bucket_norm"]),
             "scale": hb["scale"],
-            "x": (
-                jnp.asarray(np.asarray(self._raw))
-                if self.raw_store == "device" and self._raw is not None
-                else None
-            ),
+            "x": x_dev,
         }
         return self._dev
 
