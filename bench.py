@@ -42,6 +42,15 @@ def main():
     except Exception:
         pass
 
+    import jax.numpy as jnp
+
+    # warm the device data channel OUTSIDE every timed phase: the first
+    # host->device transfer of a process over the axon tunnel has been
+    # measured at 3-224 s (channel establishment), independent of size
+    t0 = time.time()
+    np.asarray(jnp.zeros((8, 8))[0, 0])
+    print(f"# device channel warmup {time.time()-t0:.1f}s", file=sys.stderr)
+
     import ngt_tpu
 
     data, name = load_dataset()
@@ -111,29 +120,40 @@ def main():
     except Exception as exc:  # pragma: no cover
         print(f"# qg bench skipped: {exc}", file=sys.stderr)
 
-    # angular-metric spot-check (the glove-100-angular axis of the baseline;
-    # the real corpus is not fetchable in this environment, so a clustered
-    # normalized synthetic stands in — stderr info only, not the headline)
+    # angular-metric arm (the glove-100-angular axis of the baseline; the
+    # real corpus is not fetchable here, so a deterministic 100k low-rank
+    # Gaussian on the 100-sphere stands in — smooth angular structure with
+    # glove-like correlated directions; stderr info only, not the headline)
     try:
         rng2 = np.random.default_rng(3)
-        centers = rng2.normal(size=(64, 100)).astype(np.float32)
-        ang = centers[rng2.integers(0, 64, size=20000)] + rng2.normal(
-            size=(20000, 100)
-        ).astype(np.float32) * 0.4
-        aq = centers[rng2.integers(0, 64, size=512)] + rng2.normal(
-            size=(512, 100)
-        ).astype(np.float32) * 0.4
-        aidx = ngt_tpu.create(None, dimension=100, distance_type="Cosine")
+        rank, n_ang, nq_ang = 25, 100_000, 512
+        A = rng2.normal(size=(rank, 100)).astype(np.float32)
+        ang = (
+            rng2.normal(size=(n_ang, rank)).astype(np.float32) @ A
+            + rng2.normal(size=(n_ang, 100)).astype(np.float32) * 0.3
+        )
+        aq = (
+            rng2.normal(size=(nq_ang, rank)).astype(np.float32) @ A
+            + rng2.normal(size=(nq_ang, 100)).astype(np.float32) * 0.3
+        )
+        aidx = ngt_tpu.create(
+            None, dimension=100, distance_type="Cosine",
+            edge_size_for_creation=40,
+        )
+        t0 = time.time()
         aidx.batch_insert(ang, build=True)
+        ab = time.time() - t0
         agt, _ = aidx.batch_linear_search(aq, size=10)
-        ids, dt = timed(
-            lambda: aidx.batch_search(aq, size=10, epsilon=0.05)
-        )
-        arec = recall_at_k(np.asarray(ids), np.asarray(agt), 10)
-        print(
-            f"# angular20k eps=0.05 recall@10={arec:.4f} qps={len(aq)/dt:.0f}",
-            file=sys.stderr,
-        )
+        for eps in (0.02, 0.05, 0.1):
+            ids, dt = timed(
+                lambda e=eps: aidx.batch_search(aq, size=10, epsilon=e)
+            )
+            arec = recall_at_k(np.asarray(ids), np.asarray(agt), 10)
+            print(
+                f"# angular100k(auto) eps={eps} recall@10={arec:.4f} "
+                f"qps={len(aq)/dt:.0f} build={ab:.1f}s",
+                file=sys.stderr,
+            )
     except Exception as exc:  # pragma: no cover
         print(f"# angular bench skipped: {exc}", file=sys.stderr)
 

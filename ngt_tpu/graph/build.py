@@ -159,6 +159,12 @@ _SQ8_METRICS = (
     DistanceType.NORMALIZED_L2,
     DistanceType.NORMALIZED_COSINE,
     DistanceType.NORMALIZED_ANGLE,
+    # plain angular metrics qualify because the sq8 codes are built from
+    # ROW-NORMALIZED vectors (qgraph._sq8_rows): L2 ranking on unit rows
+    # equals the cosine/angle ranking, and the exact re-rank uses the true
+    # metric on the raw mirror
+    DistanceType.COSINE,
+    DistanceType.ANGLE,
 )
 
 
@@ -655,11 +661,37 @@ def build_bulk(
     mark("upload", x)
 
     # bf16 scan + exact re-rank where L2 ranking equals the metric (a single
-    # MXU pass instead of the ~3 passes of f32-precision matmuls)
-    fast = metric in (DistanceType.L2, DistanceType.NORMALIZED_L2)
+    # MXU pass instead of the ~3 passes of f32-precision matmuls).  Angular
+    # metrics qualify too: on unit-normalized rows cosine distance =
+    # |a-b|^2/2 and angle = acos(1 - |a-b|^2/2), both monotone in L2 — so
+    # the scan runs on a normalized copy and distances convert analytically
+    # (the reference's NormalizedL2 kernel uses the same identity,
+    # PrimitiveComparator.h:226-234).
+    ang = metric in (
+        DistanceType.COSINE,
+        DistanceType.ANGLE,
+        DistanceType.NORMALIZED_COSINE,
+        DistanceType.NORMALIZED_ANGLE,
+    )
+    fast = metric in (DistanceType.L2, DistanceType.NORMALIZED_L2) or ang
     if fast:
-        sqn_fast = sqn if sqn is not None else D.sq_norms(x)
         x_fast = x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+        if ang and not store.normalize:
+            nrm = jnp.sqrt(jnp.maximum(D.sq_norms(x_fast), 1e-30))
+            x_fast = x_fast / nrm[:, None]
+        sqn_fast = (
+            D.sq_norms(x_fast)
+            if (ang and not store.normalize) or sqn is None
+            else sqn
+        )
+
+    def _l2_to_metric(d, xp):
+        """Convert unit-row L2 distances to the angular metric (exact)."""
+        if not ang:
+            return d
+        if metric in (DistanceType.COSINE, DistanceType.NORMALIZED_COSINE):
+            return 0.5 * d * d
+        return xp.arccos(xp.clip(1.0 - 0.5 * d * d, -1.0, 1.0))
 
     # per-dispatch chunk: the tiled program handles many 4k-query tiles per
     # call (each dispatch over the axon tunnel costs ~0.1-1 s, so dispatch
@@ -693,10 +725,14 @@ def build_bulk(
             # keep scan outputs ON DEVICE; the whole graph assembles in one
             # device program below (one host core makes the per-chunk
             # set_nodes/merge_edges path the build bottleneck at scale)
+            if fast:
+                dists = _l2_to_metric(dists, jnp)
             dev_chunks.append((ids[: len(chunk)], dists[: len(chunk)]))
             continue
         ids, dists = jax.device_get((ids, dists))
         ids, dists = ids[: len(chunk)], dists[: len(chunk)]
+        if fast:
+            dists = _l2_to_metric(dists, np)
         # drop self-matches, keep k
         self_hit = ids == chunk[:, None]
         dists = np.where(self_hit, np.inf, dists)

@@ -83,6 +83,19 @@ class QuantizedGraphIndex:
         self._codes_mut = index.store.mutation_count
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _sq8_rows(index, x_rows: np.ndarray) -> np.ndarray:
+        """Rows the sq8 codes are built from.  Plain angular metrics
+        (COSINE/ANGLE — stored UN-normalized, unlike the Normalized*
+        variants) encode the ROW-NORMALIZED vectors: L2 ranking on unit
+        rows equals the cosine/angle ranking, so the scaled-L2 traversal
+        stays rank-faithful; the exact re-rank then scores the raw mirror
+        with the true metric."""
+        if index.store.metric in (DistanceType.COSINE, DistanceType.ANGLE):
+            nrm = np.linalg.norm(x_rows, axis=1, keepdims=True)
+            return x_rows / np.maximum(nrm, 1e-30)
+        return x_rows
+
     @classmethod
     def quantize(
         cls, index, dsub: int = 2, ksub: int = 16, iters: int = 20,
@@ -94,11 +107,12 @@ class QuantizedGraphIndex:
         live = store._valid[:n]
         x = store._x[:n].astype(np.float32)
         if mode == "sq8":
-            scale = float(np.abs(x[live]).max()) / 127.0 if live.any() else 1.0
+            rows = cls._sq8_rows(index, x[live])
+            scale = float(np.abs(rows).max()) / 127.0 if live.any() else 1.0
             scale = scale or 1.0
             codes = np.zeros((store._x.shape[0], d_pad), np.int8)
             codes[:n][live] = np.clip(
-                np.round(x[live] / scale), -127, 127
+                np.round(rows / scale), -127, 127
             ).astype(np.int8)
             return cls(index, None, codes, mode="sq8", sq_scale=scale)
         # quantize over the padded dim so code gathers align with the mirror
@@ -114,6 +128,7 @@ class QuantizedGraphIndex:
     # ------------------------------------------------------------------
     def _encode_rows(self, x_live: np.ndarray) -> np.ndarray:
         if self.mode == "sq8":
+            x_live = self._sq8_rows(self.index, x_live)
             peak = float(np.abs(x_live).max()) if len(x_live) else 1.0
             if peak > 127.0 * self.sq_scale:
                 self.sq_scale = peak / 127.0
@@ -212,8 +227,14 @@ class QuantizedGraphIndex:
         k_exp = max(int(math.ceil(size * max(result_expansion, 1.0))), size)
         if self.mode == "sq8":
             # scaled queries: d_scaled = ||q/s - c||, monotone with the true
-            # quantized distance (single global scale) — plain L2 scorer
-            queries_dev = jnp.asarray(q, jnp.float32) / self.sq_scale
+            # quantized distance (single global scale) — plain L2 scorer.
+            # Plain angular metrics normalize the query to match the
+            # normalized codes (_sq8_rows).
+            qdv = jnp.asarray(q, jnp.float32)
+            if idx.store.metric in (DistanceType.COSINE, DistanceType.ANGLE):
+                qn = jnp.sqrt(jnp.sum(qdv * qdv, axis=1, keepdims=True))
+                qdv = qdv / jnp.maximum(qn, 1e-30)
+            queries_dev = qdv / self.sq_scale
             scorer = None
         else:
             lut = self.pq.lut(np.asarray(q))               # [B, M, K]
