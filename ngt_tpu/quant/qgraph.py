@@ -115,14 +115,17 @@ class QuantizedGraphIndex:
                 np.round(rows / scale), -127, 127
             ).astype(np.int8)
             return cls(index, None, codes, mode="sq8", sq_scale=scale)
-        # quantize over the padded dim so code gathers align with the mirror
+        # quantize over the padded dim so code gathers align with the
+        # mirror; plain angular metrics fit/encode the normalized rows
+        # (same rank-faithfulness argument as _sq8_rows)
+        rows = cls._sq8_rows(index, x[live])
         pq = ProductQuantizer(d_pad, dsub=dsub, ksub=ksub)
-        pq.fit(x[live], iters=iters)
+        pq.fit(rows, iters=iters)
         from ngt_tpu.quant.pq import pack_codes4
 
         mp = (pq.m + 1) // 2
         codes = np.zeros((store._x.shape[0], mp), np.uint8)
-        codes[:n][live] = pack_codes4(pq.encode(x[live]))
+        codes[:n][live] = pack_codes4(pq.encode(rows))
         return cls(index, pq, codes, mode="pq4")
 
     # ------------------------------------------------------------------
@@ -137,7 +140,7 @@ class QuantizedGraphIndex:
             ).astype(np.int8)
         from ngt_tpu.quant.pq import pack_codes4
 
-        return pack_codes4(self.pq.encode(x_live))
+        return pack_codes4(self.pq.encode(self._sq8_rows(self.index, x_live)))
 
     def _dev_codes(self):
         store = self.index.store
@@ -237,7 +240,12 @@ class QuantizedGraphIndex:
             queries_dev = qdv / self.sq_scale
             scorer = None
         else:
-            lut = self.pq.lut(np.asarray(q))               # [B, M, K]
+            qh = np.asarray(q)
+            if idx.store.metric in (DistanceType.COSINE, DistanceType.ANGLE):
+                qh = qh / np.maximum(
+                    np.linalg.norm(qh, axis=1, keepdims=True), 1e-30
+                )
+            lut = self.pq.lut(qh)                          # [B, M, K]
             queries_dev = lut.reshape(lut.shape[0], -1)
             scorer = make_packed_scorer(self.pq.m, self.pq.ksub)
 
