@@ -251,6 +251,18 @@ class Index:
             # the reference's delete path is likewise incremental,
             # Graph.cpp:641-864)
             self._mirror.update_rows(touched, touched)
+        if self.seeder.num_reps and (self.seeder.rep_ids == oid).any():
+            # the removed object was a seed representative: resample (the
+            # reference replaces the removed tree slot with a nearby live
+            # object, Index.h:1423-1453)
+            live = np.nonzero(self.store._valid[: self.store.repository_size])[0]
+            if len(live):
+                self.seeder.refresh(
+                    live.astype(np.int32), self.store._x, self.seeder.num_reps
+                )
+            else:
+                self.seeder.rep_ids = np.zeros((0,), np.int32)
+                self.seeder._rep_rows = None
 
     def get_object(self, external_id: int) -> np.ndarray:
         return self.store.get(self._int(external_id))
@@ -522,6 +534,7 @@ class Index:
         within = in_deg[:, 1:]
         if not (dd[within] >= -1e-6).all():
             errs.append("edge lists not sorted by distance")
+        errs.extend(self.seeder.verify(live, self.store._x[:n]))
         return errs
 
     def statistics(self) -> dict:

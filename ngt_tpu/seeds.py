@@ -75,6 +75,31 @@ class Seeder:
         self._rep_rows = rows
         self._rep_sq = D.sq_norms(rows)
 
+    def verify(self, live_mask: np.ndarray, x_host: np.ndarray) -> list:
+        """Seed-structure invariants — the role of DVPTree::verify
+        (reference Tree.h:380-403: child pointers + leaf membership): every
+        representative must be a LIVE object and its cached device row must
+        match the authoritative host row (a stale row would seed searches
+        toward vectors that no longer exist)."""
+        errs: list = []
+        if self.num_reps == 0:
+            return errs
+        ids = self.rep_ids
+        n = len(live_mask)
+        if (ids < 0).any() or (ids >= n).any():
+            errs.append("representative id out of range")
+            return errs
+        dead = ~np.asarray(live_mask)[ids]
+        if dead.any():
+            errs.append(f"{int(dead.sum())} representatives are dead objects")
+        if self._rep_rows is not None:
+            cached = np.asarray(self._rep_rows)
+            if cached.shape != x_host[ids].shape or not np.array_equal(
+                cached, x_host[ids]
+            ):
+                errs.append("representative rows stale vs object store")
+        return errs
+
     def seeds_for(self, queries: jax.Array, seed_size: int | None = None) -> jax.Array:
         """queries [B, D_pad] -> seed ids [B, S] int32 (device)."""
         s = int(seed_size or self.seed_size)
