@@ -211,8 +211,9 @@ def bench_1m(base5k, timed, rng):
     cache = os.path.expanduser("~/.cache/ngt_tpu_bench")
     os.makedirs(cache, exist_ok=True)
     # production-scale batch: per-query overhead amortizes with batch size
-    # (measured 14.3k qps @1024 -> 19.1k @4096 at equal recall)
-    n_q = 4096
+    # at equal recall (measured 14.3k qps @1024 -> 19.1k @4096 -> 21.6k
+    # @8192, plateau at 16384)
+    n_q = 8192
     # integral uint8-valued corpus like the real sift-128-euclidean (SIFT
     # descriptors are uint8); also lets the build ship 4x fewer bytes over
     # the tunnel (graph/build.py _upload_f32)
@@ -228,7 +229,9 @@ def bench_1m(base5k, timed, rng):
         np.save(corpus_f, data.astype(np.uint8))
         data = data.astype(np.float32)
     g2 = np.random.default_rng(1)
-    queries = base5k[g2.choice(len(base5k), n_q, replace=False)] + g2.normal(
+    # replace=True: n_q exceeds the 5k base rows; each draw gets its own
+    # noise so queries stay distinct
+    queries = base5k[g2.choice(len(base5k), n_q, replace=True)] + g2.normal(
         scale=12.0, size=(n_q, 128)
     ).astype(np.float32)
 

@@ -170,6 +170,17 @@ def _assign_chunk(xc, cents):
     return jnp.argmin(D.pairwise(DistanceType.L2, xc, cents), axis=1)
 
 
+@functools.partial(jax.jit, static_argnames=("m",))
+def _encode_chunk_dev(xc, cents, assign, codebooks, pq_mean, m):
+    """Residual + PQ encode fused on device: ships the (narrow) object
+    chunk instead of a host-materialized f32 residual matrix — for uint8
+    corpora that is 4x less tunnel traffic on a 10M build."""
+    from ngt_tpu.quant.pq import _encode
+
+    resid = xc.astype(_F32) - jnp.take(cents, assign, axis=0) - pq_mean
+    return _encode(resid, codebooks, m)
+
+
 class IVFPQIndex:
     """NGTQ-style quantized index (API mirrors NGTQ::Index,
     Quantizer.h:2720-2939: insert/search/save/open, result-expansion,
@@ -290,16 +301,26 @@ class IVFPQIndex:
         """Encode ``x - centroids[assign]`` in ~1M-row device chunks: a
         single 10M-row encode would stage >5 GB on device, and
         materializing the full residual matrix on host costs 2x the corpus
-        in transient RSS."""
+        in transient RSS.  The residual is computed ON DEVICE from the
+        narrowest lossless upload of the chunk (uint8 for SIFT-like data:
+        4x less tunnel traffic)."""
+        from ngt_tpu.graph.build import _upload_f32
+
         mp = (self.pq.m + 1) // 2 if self.packed else self.pq.m
         out = np.empty((len(x), mp), np.uint8)
+        cents = jnp.asarray(self.centroids)
+        cb = jnp.asarray(self.pq.codebooks)
+        mean = jnp.asarray(self.pq.mean)
         step = 1 << 20
         for s in range(0, len(x), step):
-            resid = x[s : s + step] - self.centroids[assign[s : s + step]]
-            c = self.pq.encode(resid)
-            if self.packed:
-                c = pack_codes4(c)
-            out[s : s + step] = c
+            xc = _upload_f32(np.ascontiguousarray(x[s : s + step]))
+            codes = np.asarray(
+                _encode_chunk_dev(
+                    xc, cents, jnp.asarray(assign[s : s + step]), cb,
+                    mean, self.pq.m,
+                )
+            )
+            out[s : s + step] = pack_codes4(codes) if self.packed else codes
         return out
 
     def _flush_pending(self) -> None:
@@ -320,6 +341,8 @@ class IVFPQIndex:
         self._dev = None
 
     def _assign_to_centroids(self, x: np.ndarray) -> np.ndarray:
+        from ngt_tpu.graph.build import _upload_f32
+
         cd = jnp.asarray(self.centroids)
         out = np.empty(len(x), np.int32)
         step = 65536
@@ -329,11 +352,11 @@ class IVFPQIndex:
                 # pad the ragged tail to the fixed chunk shape (one compile)
                 pad = np.zeros((step, x.shape[1]), x.dtype)
                 pad[: len(chunk)] = chunk
-                a = np.asarray(_assign_chunk(jnp.asarray(pad), cd))
+                a = np.asarray(_assign_chunk(_upload_f32(pad), cd))
                 out[s:] = a[: len(chunk)]
             else:
                 out[s : s + step] = np.asarray(
-                    _assign_chunk(jnp.asarray(chunk), cd)
+                    _assign_chunk(_upload_f32(np.ascontiguousarray(chunk)), cd)
                 )
         return out
 
