@@ -187,12 +187,10 @@ def reconstruct_graph_with_constraint(
 # --------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("e",))
-def _detect_shortcuts_block(nbr_blk, dist_blk, nbr_all, dist_all, e):
+def _shortcut_hits(nbr_blk, dist_blk, nbr_all, dist_all, e):
     """For a block of rows: mark edges (u, rank_w) having a 2-hop path
     u->v->w with d_uv < d_uw and d_vw < d_uw, v an earlier-or-any neighbor
     of u.  Returns [blk, e, e] bool: axis1 = v rank, axis2 = w rank."""
-    blk = nbr_blk.shape[0]
     v_ids = nbr_blk[:, :e]                              # [blk, e]
     safe_v = jnp.clip(v_ids, 0, nbr_all.shape[0] - 1)
     v_nbrs = jnp.take(nbr_all, safe_v, axis=0)[:, :, :e]   # [blk, e, e] w' ids
@@ -214,6 +212,37 @@ def _detect_shortcuts_block(nbr_blk, dist_blk, nbr_all, dist_all, e):
     return hit                                          # [blk, v_rank, w_rank]
 
 
+@functools.partial(jax.jit, static_argnames=("e", "block"))
+def _detect_shortcuts_all(nbr_all, dist_all, *, e, block):
+    """Whole-graph shortcut detection in ONE device program: lax.scan over
+    node tiles, each tile's [block, e, e] hit tensor BIT-PACKED on device
+    along the w axis (np.packbits layout: big-endian per byte).  The
+    per-block eager version paid one dispatch + an 8x-bigger bool download
+    per tile (~205 dispatches / 1.7 GB at 100k, e=130 — phase 1 was 97 s
+    of the ONNG pipeline; fused+packed it is one dispatch + e/8 bytes per
+    edge).  nbr_all rows must be padded to a multiple of ``block``."""
+    n = nbr_all.shape[0]
+    ntiles = n // block
+    eb = ((e + 7) // 8) * 8
+    weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+
+    def body(_, ti):
+        s = ti * block
+        nbr_blk = jax.lax.dynamic_slice_in_dim(nbr_all, s, block, axis=0)
+        dist_blk = jax.lax.dynamic_slice_in_dim(dist_all, s, block, axis=0)
+        hit = _shortcut_hits(nbr_blk, dist_blk, nbr_all, dist_all, e)
+        hitp = jnp.pad(hit, ((0, 0), (0, 0), (0, eb - e)))
+        packed = jnp.sum(
+            hitp.reshape(block, e, eb // 8, 8).astype(jnp.uint8)
+            * weights[None, None, None, :],
+            axis=3,
+        ).astype(jnp.uint8)
+        return None, packed
+
+    _, out = jax.lax.scan(body, None, jnp.arange(ntiles, dtype=jnp.int32))
+    return out.reshape(ntiles * block, e, eb // 8)
+
+
 def adjust_paths(
     graph: GraphStore, n: int, min_edges: int = 0, block: int = 512,
 ) -> GraphStore:
@@ -225,26 +254,29 @@ def adjust_paths(
     dist = graph.nbr_dist[:n]
     deg = graph.degree[:n]
 
-    nbr_dev = jnp.asarray(graph.nbr_ids[:n])
-    dist_dev = jnp.asarray(graph.nbr_dist[:n])
-
-    # phase 1: candidate detection, blocked over nodes, on device.
-    # the detection tensor is [block, e, e, e] bools — cap the block so it
-    # stays under ~1 GiB at high degree.  The host-side candidate tensor is
-    # BIT-PACKED along the w axis ([u, v_rank, w_rank//8] uint8): an
-    # unpacked [n, e, e] bool is ~17 GB at 1M nodes / ONNG-typical e=130,
-    # packed it is ~2.1 GB (the OpenMP reference builds per-node vectors
-    # instead; adjustPathsEffectively, GraphReconstructor.h:197-386)
+    # phase 1: candidate detection — ONE fused device program (scan over
+    # node tiles) returning the candidate tensor already BIT-PACKED along
+    # the w axis ([u, v_rank, w_rank//8] uint8): an unpacked [n, e, e] bool
+    # is ~17 GB at 1M nodes / ONNG-typical e=130, packed it is ~2.1 GB
+    # (the OpenMP reference builds per-node vectors instead;
+    # adjustPathsEffectively, GraphReconstructor.h:197-386).  Block size
+    # caps the [block, e, e, e] detection tensor at ~1 GiB.
     block = max(16, min(block, (1 << 30) // max(e * e * e, 1)))
-    cand_bits = np.zeros((n, e, (e + 7) // 8), np.uint8)
-    for s in range(0, n, block):
-        t = min(s + block, n)
-        blk_n = jnp.asarray(nbr[s:t])
-        blk_d = jnp.asarray(dist[s:t])
-        hit = np.asarray(
-            _detect_shortcuts_block(blk_n, blk_d, nbr_dev, dist_dev, e)
+    n_pad = ((n + block - 1) // block) * block
+    nbr_p = graph.nbr_ids[:n]
+    dist_p = graph.nbr_dist[:n]
+    if n_pad != n:
+        nbr_p = np.concatenate(
+            [nbr_p, np.full((n_pad - n, nbr_p.shape[1]), -1, nbr_p.dtype)]
         )
-        cand_bits[s:t] = np.packbits(hit, axis=2)
+        dist_p = np.concatenate(
+            [dist_p, np.full((n_pad - n, dist_p.shape[1]), INF, dist_p.dtype)]
+        )
+    cand_bits = np.asarray(
+        _detect_shortcuts_all(
+            jnp.asarray(nbr_p), jnp.asarray(dist_p), e=e, block=block
+        )
+    )[:n]
 
     # phase 2: rank-ordered re-insertion (vectorized per rank).
     # kept[u, r] - whether u's rank-r edge survives.

@@ -14,12 +14,22 @@ refreshed as the index grows (build) or k-means centroids' nearest members
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ngt_tpu.ops import distances as D
 from ngt_tpu.properties import DistanceType
+
+
+@functools.partial(jax.jit, static_argnames=("metric",))
+def _nearest_row(cents, rows, metric):
+    """argmin on device: downloading the [k, sample] distance matrix to
+    argmin on host cost ~1 GB over the tunnel at k=4096 (was most of the
+    optimize_seeds wall time)."""
+    return jnp.argmin(D.pairwise(metric, cents, rows), axis=1)
 
 
 def default_reps(n_live: int) -> int:
@@ -152,13 +162,21 @@ class Seeder:
             else self._rng.choice(live_ids, size=sample, replace=False)
         )
         k = int(min(num_reps, len(pool)))
+        # pow2-bucket k so the jitted k-means program (static k) is reused
+        # across index sizes: an unbucketed k compiled a fresh ~k-step
+        # seeding scan per size (~40 s at k≈3000 over the tunnel).  Random
+        # init, not kmeans++: centroids snap to their nearest live member
+        # below, so placement precision beyond Lloyd iterations is wasted.
+        k = min(1 << max(int(np.ceil(np.log2(max(k, 1)))), 0), len(pool))
         rows = x_host[pool].astype(np.float32)
-        cents, _ = kmeans(rows, k, iters=iters)
-        # nearest live object per centroid (one pairwise block)
-        d = np.asarray(
-            D.pairwise(self.metric, jnp.asarray(cents), jnp.asarray(rows))
-        )
-        nearest = pool[np.argmin(d, axis=1)]
+        cents, _ = kmeans(rows, k, iters=iters, mode="random")
+        # nearest live object per centroid (one pairwise block; argmin on
+        # device — only k int32 ids come back over the tunnel)
+        nearest = pool[
+            np.asarray(
+                _nearest_row(jnp.asarray(cents), jnp.asarray(rows), self.metric)
+            )
+        ]
         sel = np.unique(nearest).astype(np.int32)
         bucket = 1 << max(int(np.ceil(np.log2(max(len(sel), 1)))), 4)
         if len(sel) < bucket:
