@@ -313,3 +313,62 @@ def test_ivfpq_dimension_check():
     ivf = IVFPQIndex(24)
     with pytest.raises(ValueError):
         ivf.batch_insert(np.zeros((5, 7), np.float32))
+
+
+def _lowrank_angular(n=12000, d=48, n_q=128, rank=12, seed=3):
+    rng = np.random.default_rng(seed)
+    A = rng.normal(size=(rank, d)).astype(np.float32)
+    x = (rng.normal(size=(n, rank)).astype(np.float32) @ A
+         + rng.normal(size=(n, d)).astype(np.float32) * 0.3)
+    q = (rng.normal(size=(n_q, rank)).astype(np.float32) @ A
+         + rng.normal(size=(n_q, d)).astype(np.float32) * 0.3)
+    return x, q
+
+
+@pytest.mark.parametrize("metric", ["Cosine", "Angle"])
+def test_angular_bulk_build_metric_distances(metric):
+    """The angular bf16 fast scan (build_bulk) must store TRUE metric
+    distances: cosine distance = |a-b|^2/2 and angle = acos(1-|a-b|^2/2)
+    on unit rows (graph/build.py _l2_to_metric)."""
+    import ngt_tpu
+
+    x, q = _lowrank_angular(n=4000)
+    idx = ngt_tpu.create(None, dimension=x.shape[1], distance_type=metric,
+                         edge_size_for_creation=20)
+    idx.batch_insert(x, build=True)
+    nbr = idx.graph.nbr_ids[1]
+    nbrd = idx.graph.nbr_dist[1]
+    x0 = x[0]
+    for t, dv in zip(nbr[:5], nbrd[:5]):
+        if t < 0:
+            continue
+        xt = x[t - 1]  # internal ids are 1-based
+        cos = float(x0 @ xt / (np.linalg.norm(x0) * np.linalg.norm(xt)))
+        true = (1.0 - cos) if metric == "Cosine" else float(
+            np.arccos(np.clip(cos, -1.0, 1.0))
+        )
+        assert abs(true - dv) < 1e-3
+
+
+@pytest.mark.parametrize("mode", ["sq8", "pq4"])
+def test_angular_quantized_routing_rank_faithful(mode):
+    """sq8/pq4 traversal on plain Cosine encodes ROW-NORMALIZED vectors
+    (qgraph._sq8_rows) so the scaled-L2 / LUT ranking matches the angular
+    ranking — recall must be in the same band as the exact traversal."""
+    import ngt_tpu
+    from ngt_tpu.ops.bruteforce import recall_at_k
+    from ngt_tpu.quant.qgraph import QuantizedGraphIndex
+
+    x, q = _lowrank_angular()
+    idx = ngt_tpu.create(None, dimension=x.shape[1], distance_type="Cosine",
+                         edge_size_for_creation=24)
+    idx.batch_insert(x, build=True)
+    gt, _ = idx.batch_linear_search(q, size=10)
+    idx.prop.search_mode = "exact"
+    ids_e, _ = idx.batch_search(q, size=10, epsilon=0.1)
+    rec_e = recall_at_k(np.asarray(ids_e), np.asarray(gt), 10)
+    qg = QuantizedGraphIndex.quantize(idx, mode=mode)
+    ids_q, _ = qg.batch_search(q, size=10, epsilon=0.1, result_expansion=3.0)
+    rec_q = recall_at_k(np.asarray(ids_q), np.asarray(gt), 10)
+    assert rec_q >= rec_e - 0.05, (rec_e, rec_q)
+    assert rec_q >= 0.85
