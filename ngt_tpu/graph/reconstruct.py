@@ -50,13 +50,66 @@ def _rows_to_lists(nbr: np.ndarray, dist: np.ndarray, deg: np.ndarray):
     return src, nbr[src, col], dist[src, col]
 
 
+@functools.partial(jax.jit, static_argnames=("e_max", "cap"))
+def _normalize_rows_dev(s, t, d, *, e_max, cap):
+    """Device _normalize_rows: sort 10s of millions of edge triples in one
+    program (three host lexsorts over ~50M pairs took ~190 s of the 1M
+    ONNG reconstruct on this one-core host; the device sorts them in
+    seconds).  Same semantics: dedupe (src, dst) keeping the shortest,
+    rank within row by (dist, dst), scatter into fixed-width rows."""
+    pad_row = jnp.int32(cap)
+    invalid = (t < 0) | (s < 0) | ~jnp.isfinite(d)
+    s = jnp.where(invalid, pad_row, s)
+    # sort by (src, dst, dist): first of each (src, dst) run is shortest
+    s1, t1, d1 = jax.lax.sort((s, t, d), num_keys=3)
+    dup = jnp.concatenate(
+        [jnp.zeros((1,), bool), (s1[1:] == s1[:-1]) & (t1[1:] == t1[:-1])]
+    )
+    d1 = jnp.where(dup, jnp.inf, d1)
+    s1 = jnp.where(dup, pad_row, s1)
+    # rank within row by (dist, dst)
+    s2, d2, t2 = jax.lax.sort((s1, d1, t1), num_keys=3)
+    l = s2.shape[0]
+    idxv = jnp.arange(l, dtype=jnp.int32)
+    is_start = jnp.concatenate([jnp.ones((1,), bool), s2[1:] != s2[:-1]])
+    gstart = jax.lax.cummax(jnp.where(is_start, idxv, 0))
+    rank = idxv - gstart
+    keep = (rank < e_max) & (s2 < pad_row) & jnp.isfinite(d2)
+    row = jnp.where(keep, s2, pad_row)
+    col = jnp.where(keep, rank, 0)
+    nbr = jnp.full((cap + 1, e_max), -1, jnp.int32)
+    dist = jnp.full((cap + 1, e_max), jnp.inf, jnp.float32)
+    nbr = nbr.at[row, col].set(jnp.where(keep, t2, -1))
+    dist = dist.at[row, col].set(jnp.where(keep, d2, jnp.inf))
+    nbr, dist = nbr[:cap], dist[:cap]
+    deg = jnp.sum(nbr >= 0, axis=1).astype(jnp.int32)
+    return nbr, dist, deg
+
+
 def _normalize_rows(
     pairs_src: np.ndarray, pairs_dst: np.ndarray, pairs_d: np.ndarray,
     n: int, e_max: int,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Group (src -> dst, d) pairs into sorted, deduped fixed-width rows —
     the vectorized 'sort + erase duplicates' normalization pass
-    (reference GraphReconstructor.h:516-553)."""
+    (reference GraphReconstructor.h:516-553).  Large pair lists route to
+    the device sort (pow2-padded so programs are reused across sizes)."""
+    if len(pairs_src) >= (1 << 21):
+        ln = 1 << int(np.ceil(np.log2(len(pairs_src))))
+        pad = ln - len(pairs_src)
+        s = np.concatenate([pairs_src, np.full(pad, -1, np.int64)])
+        t = np.concatenate([pairs_dst, np.full(pad, -1, np.int32)])
+        d = np.concatenate([pairs_d, np.full(pad, np.inf, np.float32)])
+        nbr_d, dist_d, deg_d = _normalize_rows_dev(
+            jnp.asarray(s.astype(np.int32)), jnp.asarray(t),
+            jnp.asarray(d.astype(np.float32)), e_max=e_max, cap=n,
+        )
+        return np.asarray(nbr_d), np.asarray(dist_d), np.asarray(deg_d)
+    ok = (pairs_dst >= 0) & (pairs_src >= 0) & np.isfinite(pairs_d)
+    if not ok.all():
+        pairs_src, pairs_dst, pairs_d = (
+            pairs_src[ok], pairs_dst[ok], pairs_d[ok]
+        )
     # sort by (src, dist, dst); dedupe by (src, dst) keeping the shortest
     order = np.lexsort((pairs_dst, pairs_d, pairs_src))
     s, t, d = pairs_src[order], pairs_dst[order], pairs_d[order]
