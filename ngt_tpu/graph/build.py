@@ -345,14 +345,15 @@ def _bulk_graph_rows(src_ids, f_ids, f_d, *, e_max, cap, reverse):
 
 
 @jax.jit
-def _cc_labels_device(nbr, valid):
+def _cc_labels_pass(nbr, valid, labels0=None):
     """Connected-component labels by min-label propagation with pointer
     jumping — the device analogue of the native union-find (one host core
     here makes an 80M-edge serial union-find a ~20 s pass; on device each
     round is two big gathers and convergence takes O(log n) rounds)."""
     n, _ = nbr.shape
     none = jnp.int32(n)
-    labels0 = jnp.where(valid, jnp.arange(n, dtype=jnp.int32), none)
+    if labels0 is None:
+        labels0 = jnp.where(valid, jnp.arange(n, dtype=jnp.int32), none)
     safe = jnp.clip(nbr, 0, n - 1)
     edge_ok = nbr >= 0
 
@@ -398,6 +399,22 @@ def _cc_labels_device(nbr, valid):
         cond, body, (jnp.int32(0), labels0, jnp.bool_(True))
     )
     return labels
+
+
+def _cc_labels_device(nbr, valid, narrow: int = 8):
+    """Exact CC labels with most of the edge traffic elided: a k-NN row is
+    sorted by distance, so its first few neighbors already stitch together
+    almost every component — run the propagation rounds on ``nbr[:, :narrow]``
+    first (each round gathers/scatters ``narrow/E`` of the edge bytes), then
+    finish on the FULL width starting from those labels.  The full-width
+    pass converges in ~1 round when the narrow subgraph already found the
+    partition, and guarantees exactness when it didn't (it is the same
+    fixpoint iteration, just warm-started)."""
+    e = nbr.shape[1]
+    labels = None
+    if 0 < narrow < e:
+        labels = _cc_labels_pass(nbr[:, :narrow], valid)
+    return _cc_labels_pass(nbr, valid, labels)
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))
@@ -714,6 +731,7 @@ def build_bulk(
             ids, dists = BF.fast_knn_l2_bulk(
                 jnp.asarray(_pad_ids(chunk, bpad)), x_fast, valid, sqn_fast,
                 k=k + 1, kc=2 * (k + 1), qblock=min(qtile, bpad),
+                bf16_tile=os.environ.get("NGT_TPU_SCAN_F32_TILE", "") != "1",
             )
         else:
             bpad = _bucket(len(chunk))

@@ -156,7 +156,7 @@ def fast_knn_l2(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "kc", "qblock", "block")
+    jax.jit, static_argnames=("k", "kc", "qblock", "block", "bf16_tile")
 )
 def fast_knn_l2_bulk(
     q_ids: jax.Array,       # [Np_pad] int32 ids into x (Np_pad % qblock == 0)
@@ -168,6 +168,7 @@ def fast_knn_l2_bulk(
     kc: int = 0,
     qblock: int = 4096,
     block: int = 32768,
+    bf16_tile: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact k-NN of MANY stored rows against the whole store in ONE device
     program: an outer scan over query tiles wrapping the bf16-scan +
@@ -179,7 +180,16 @@ def fast_knn_l2_bulk(
     into the program cuts that to a handful (the MXU work itself is seconds
     — 1M x 1M x 128 bf16 ≈ 260 TFLOP).  Tile sizes keep the distance tile
     + top_k temporaries ~0.5-1 GB: the shared tunneled chip has limited
-    free HBM and a 2 GB-tile variant crashed the TPU worker."""
+    free HBM and a 2 GB-tile variant crashed the TPU worker.
+
+    ``bf16_tile=True`` halves the dominant HBM traffic (the [B, block] dot
+    tile the MXU materializes before the fused select pass reads it back):
+    rows and queries are CENTERED on the valid-row mean so dot magnitudes
+    shrink from ~|x|² to covariance scale (centering both sides leaves every
+    pairwise L2 distance unchanged), then the dot tile is emitted in bf16.
+    Candidate selection error stays ≪ the candidate spread, and the f32
+    re-rank is computed from the ORIGINAL rows either way, so the returned
+    top-k is exact over the selected candidates."""
     np_pad = q_ids.shape[0]
     nq_tiles = max(np_pad // qblock, 1)
     b = qblock
@@ -190,7 +200,20 @@ def fast_knn_l2_bulk(
     xp = jnp.pad(x, ((0, n_pad - n), (0, 0))) if n_pad != n else x
     vp = jnp.pad(valid, (0, n_pad - n)) if n_pad != n else valid
     sp = jnp.pad(x_sqnorm, (0, n_pad - n)) if n_pad != n else x_sqnorm
-    x16 = xp.astype(jnp.bfloat16)
+    if bf16_tile:
+        # valid-row mean; selection scores use centered rows + centered
+        # sqnorms (exact algebra: ||a-b|| is translation invariant)
+        cnt = jnp.maximum(jnp.sum(vp.astype(_F32)), 1.0)
+        mu = jnp.sum(jnp.where(vp[:, None], xp, 0.0), axis=0) / cnt
+        mu_sq = jnp.sum(mu * mu)
+        # centered sqnorms via ||x-mu||² = ||x||² - 2·x·mu + ||mu||²
+        sp = sp - 2.0 * (xp @ mu) + mu_sq
+        x16 = (xp - mu[None, :]).astype(jnp.bfloat16)
+        acc_t = jnp.bfloat16
+    else:
+        mu = None
+        x16 = xp.astype(jnp.bfloat16)
+        acc_t = _F32
 
     # Per-block candidate selection uses approx_max_k (the TPU PartialReduce
     # unit) instead of an exact top_k merge per block: measured on hardware,
@@ -207,8 +230,8 @@ def fast_knn_l2_bulk(
         xs = jax.lax.dynamic_slice_in_dim(x16, start, block, axis=0)
         vs = jax.lax.dynamic_slice_in_dim(vp, start, block, axis=0)
         ss = jax.lax.dynamic_slice_in_dim(sp, start, block, axis=0)
-        dot = jnp.dot(q16, xs.T, preferred_element_type=_F32)
-        d2 = q_sq[:, None] + ss[None, :] - 2.0 * dot
+        dot = jnp.dot(q16, xs.T, preferred_element_type=acc_t)
+        d2 = q_sq[:, None] + ss[None, :] - 2.0 * dot.astype(_F32)
         d2 = jnp.where(vs[None, :], d2, INF)
         neg, pos = jax.lax.approx_max_k(-d2, kc, recall_target=0.95)
         ci = jnp.where(jnp.isinf(neg), -1, pos.astype(jnp.int32) + start)
@@ -217,8 +240,13 @@ def fast_knn_l2_bulk(
     def qtile_body(_, ti):
         idq = jax.lax.dynamic_slice_in_dim(q_ids, ti * qblock, qblock)
         q = jnp.take(x, jnp.clip(idq, 0, n - 1), axis=0)
-        q16 = q.astype(jnp.bfloat16)
-        q_sq = jnp.sum(q.astype(_F32) ** 2, axis=-1)
+        if bf16_tile:
+            qc = q.astype(_F32) - mu[None, :]
+            q16 = qc.astype(jnp.bfloat16)
+            q_sq = jnp.sum(qc * qc, axis=-1)
+        else:
+            q16 = q.astype(jnp.bfloat16)
+            q_sq = jnp.sum(q.astype(_F32) ** 2, axis=-1)
         _, (cds, cis) = jax.lax.scan(
             data_body, (q16, q_sq), jnp.arange(nblocks, dtype=jnp.int32)
         )

@@ -213,6 +213,10 @@ class QuantizedGraphIndex:
         result_expansion: float = 3.0,
         edge_size: int = -1,
         width: int = 0,
+        expand: int = 0,   # candidates expanded per loop step; 0 = the
+                           # index's search_expand property (beam >1 trades
+                           # distance computations for fewer sequential
+                           # steps, like the exact path)
     ):
         """Approximate traversal over PQ scores + exact re-rank.
         Defaults mirror the reference (ε=0.02, expansion=3.0;
@@ -279,6 +283,7 @@ class QuantizedGraphIndex:
             edge_size=int(e),
             hash_bits=bits,
             exact_hash=exact,
+            expand=expand if expand > 0 else max(idx.prop.search_expand, 1),
             scorer=scorer,
             block_mode=True,
             seed_x=self._dev_codes(),

@@ -84,3 +84,31 @@ def test_fast_knn_matches_exact(rng):
     d64[:, ~valid] = np.inf
     want = np.take_along_axis(d64, np.asarray(fi).astype(np.int64), axis=1)
     np.testing.assert_allclose(np.asarray(fd), want, rtol=1e-5)
+
+
+def test_fast_knn_l2_bulk_variants_exact(rng):
+    """The bulk scan (plain and bf16-tile/centered variants) must return the
+    exact top-k for stored rows: SIFT-like all-positive data with a large
+    mean exercises the centering algebra (||a-b|| translation invariance)."""
+    from ngt_tpu.ops.bruteforce import fast_knn_l2_bulk
+    from ngt_tpu.ops import distances as D
+
+    x = (rng.random(size=(300, 64)) * 200).astype(np.float32)
+    valid = np.ones(300, bool)
+    valid[0] = False
+    valid[42] = False
+    q_ids = np.arange(64, dtype=np.int32)  # qblock-aligned stored rows
+    sq = D.sq_norms(jnp.asarray(x))
+    full = np.linalg.norm(x[q_ids][:, None, :] - x[None, :, :], axis=-1)
+    full[:, ~valid] = np.inf
+    want = np.argsort(full, axis=1, kind="stable")[:, :5]
+    for bf16_tile in (False, True):
+        ids, dists = fast_knn_l2_bulk(
+            jnp.asarray(q_ids), jnp.asarray(x), jnp.asarray(valid), sq,
+            k=5, kc=16, qblock=64, block=128, bf16_tile=bf16_tile,
+        )
+        ids, dists = np.asarray(ids), np.asarray(dists)
+        np.testing.assert_array_equal(ids, want)
+        np.testing.assert_allclose(
+            dists, np.take_along_axis(full, want, axis=1), rtol=1e-4, atol=1e-3
+        )
