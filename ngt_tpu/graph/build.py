@@ -802,6 +802,12 @@ def build_bulk(
         mark("defer")
 
     if prop.truncation_threshold > 0:
+        # bulk rows are EXACT k-NN, so the tail really is the set of
+        # farthest edges and no re-search can improve the survivors; the
+        # relink half of truncateEdgesOptimally (keeping cut-off targets
+        # reachable) is covered globally by ensure_connected below.  The
+        # incremental path applies the full drop+relink semantics
+        # (truncate_drop/truncate_relink).
         live = np.nonzero(graph._has_node)[0]
         graph.truncate_rows(
             live.astype(np.int64), int(prop.truncation_threshold)
@@ -833,6 +839,101 @@ def build_bulk(
         ]
         print("# build_bulk profile: " + " ".join(parts), file=sys.stderr)
     return mirror
+
+
+def truncate_drop(
+    graph: GraphStore, rows: np.ndarray, threshold: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Phase 1 of optimal truncation (truncateEdgesOptimally,
+    Graph.cpp:947-1008): cap each over-threshold row at its ``threshold``
+    nearest edges (rows are distance-sorted, so the tail IS the excess) and
+    erase the REVERSE direction of every dropped edge (the reference erases
+    ``id`` from each truncated target's list).  Returns
+    ``(dropped_targets, touched_rows)``."""
+    rows = np.unique(np.asarray(rows, np.int64))
+    rows = rows[(rows >= 0) & (rows < graph.capacity)]
+    over = rows[graph.degree[rows] > threshold]
+    if len(over) == 0:
+        return np.zeros((0,), np.int64), np.zeros((0,), np.int64)
+    tail_i = graph.nbr_ids[over, threshold:]
+    src = np.repeat(over, tail_i.shape[1])
+    tgt = tail_i.ravel().astype(np.int64)
+    keep = tgt >= 0
+    src, tgt = src[keep], tgt[keep]
+    graph.truncate_rows(over, threshold)
+    # vectorized reverse unlink: membership test on (tgt, src) pair keys
+    cap = graph.capacity
+    pair_keys = np.unique(tgt * cap + src)
+    utgt = np.unique(tgt)
+    utgt = utgt[graph._has_node[utgt]]
+    rows_i = graph.nbr_ids[utgt]
+    rows_d = graph.nbr_dist[utgt]
+    qkeys = utgt[:, None] * cap + np.where(rows_i >= 0, rows_i, 0)
+    hit = (rows_i >= 0) & np.isin(qkeys, pair_keys)
+    if hit.any():
+        rows_d[hit] = INF
+        rows_i[hit] = -1
+        order = np.argsort(rows_d, axis=1, kind="stable")
+        graph.nbr_dist[utgt] = np.take_along_axis(rows_d, order, axis=1)
+        graph.nbr_ids[utgt] = np.take_along_axis(rows_i, order, axis=1)
+        graph.degree[utgt] = (graph.nbr_ids[utgt] >= 0).sum(axis=1)
+    return utgt, np.unique(np.concatenate([over, utgt]))
+
+
+def truncate_relink(
+    store: VectorStore,
+    graph: GraphStore,
+    prop: Property,
+    mirror: "DeviceMirror",
+    utgt: np.ndarray,
+    rep_rows: jax.Array,
+    rep_sq: jax.Array | None,
+    rep_ids_dev: jax.Array,
+    metric: DistanceType,
+) -> np.ndarray:
+    """Phase 2 of optimal truncation (Graph.cpp:1015-1103): for every
+    dropped target, search the (already truncated) graph for its nearest
+    nodes and re-link the target bidirectionally to the nearest node other
+    than itself — keeping cut-off targets well connected.  The reference
+    runs one search per target in a mini thread pool with resultSize=2 and
+    radius coefficient 1.1 (Graph.cpp:960-961); here all targets search in
+    ONE batched device program (same compiled program as insertion — k is
+    reused and the top hit extracted).  Returns touched row ids."""
+    if len(utgt) == 0:
+        return np.zeros((0,), np.int64)
+    k = int(prop.edge_size_for_creation)
+    bpad = _bucket(len(utgt))
+    pad = _pad_ids(utgt, bpad)
+    qrows = store._x[pad]
+    qvalid = np.zeros((bpad,), bool)
+    qvalid[: len(utgt)] = True
+    bits, exact = _hash_bits_for(mirror.capacity)
+    kb = max(min(k, bpad - 1), 1)
+    f_ids, f_d, _, _ = _fused_insert_search_jit(
+        mirror.x, mirror.nbr, mirror.valid, mirror.sqnorm,
+        rep_rows, rep_sq, rep_ids_dev,
+        jnp.asarray(qrows), jnp.asarray(qvalid), 0.1,
+        metric=metric, k=k, kb=kb, s=10,
+        width=max(32, 2 * k), hash_bits=bits, exact_hash=exact,
+    )
+    f_ids, f_d = jax.device_get((f_ids, f_d))
+    f_ids, f_d = f_ids[: len(utgt)], f_d[: len(utgt)]
+    # nearest found node other than the target itself (nearest == target
+    # means the target is still reachable — no re-link, Graph.cpp:1048-1052)
+    self_hit = f_ids == utgt[:, None]
+    first_other = np.argmax((f_ids >= 0) & ~self_hit, axis=1)
+    near_i = np.take_along_axis(f_ids, first_other[:, None], axis=1)[:, 0]
+    near_d = np.take_along_axis(f_d, first_other[:, None], axis=1)[:, 0]
+    found_self = self_hit[:, 0]
+    ok = (near_i >= 0) & np.isfinite(near_d) & ~found_self
+    if not ok.any():
+        return np.zeros((0,), np.int64)
+    t = utgt[ok].astype(np.int64)
+    m = near_i[ok].astype(np.int32)
+    d = near_d[ok].astype(np.float32)
+    graph.add_edges(t, m, d)
+    graph.add_edges(m.astype(np.int64), t.astype(np.int32), d)
+    return np.unique(np.concatenate([t, m.astype(np.int64)]))
 
 
 def build_anng(
@@ -1052,20 +1153,32 @@ def build_anng(
                 np.repeat(chunk, ok.sum(axis=1)).astype(np.int32),
                 sel_d[ok].astype(np.float32),
             )
-            if prop.truncation_threshold > 0:
-                # degree cap (the role of truncateEdgesOptimally,
-                # Graph.cpp:947-1131: the reference re-searches to pick
-                # survivors; rows are distance-sorted here so keeping the
-                # nearest `threshold` edges is the batched equivalent)
-                graph.truncate_rows(
-                    np.unique(sel_i[ok]).astype(np.int64),
-                    int(prop.truncation_threshold),
-                )
+        tr_tgts = None
+        if prop.graph_type != GraphType.KNNG and prop.truncation_threshold > 0:
+            # optimal truncation phase 1: cap + reverse unlink
+            # (truncateEdgesOptimally, Graph.cpp:947-1008)
+            tr_tgts, tr_touched = truncate_drop(
+                graph, sel_i[ok].astype(np.int64),
+                int(prop.truncation_threshold),
+            )
+        else:
+            tr_touched = np.zeros((0,), np.int64)
 
         affected = np.unique(
-            np.concatenate([chunk.astype(np.int64), sel_i[ok].astype(np.int64)])
+            np.concatenate([
+                chunk.astype(np.int64), sel_i[ok].astype(np.int64), tr_touched,
+            ])
         )
         mirror.update_rows(chunk, affected)
+        if tr_tgts is not None and len(tr_tgts):
+            # phase 2 on the updated mirror: re-link each cut-off target to
+            # its nearest surviving node (Graph.cpp:1015-1103)
+            touched2 = truncate_relink(
+                store, graph, prop, mirror, tr_tgts,
+                rep_rows, rep_sq, rep_ids_dev, metric,
+            )
+            if len(touched2):
+                mirror.update_rows(None, touched2)
 
         if sq8:
             if codes_dev.shape[0] != mirror.capacity:

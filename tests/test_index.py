@@ -494,3 +494,30 @@ def test_auto_bulk_append_routing(rng):
     q = data[777]
     got = idx.search(q, size=3, epsilon=0.1)
     assert got[0][0] == 777
+
+
+def test_truncation_relink_incremental(rng):
+    """Incremental truncation mirrors truncateEdgesOptimally
+    (Graph.cpp:947-1103): over-threshold rows are capped, the reverse
+    direction of dropped edges is erased, and cut-off targets are re-linked
+    to their nearest surviving node — so every node stays reachable."""
+    data = rng.normal(size=(900, 8)).astype(np.float32)
+    idx = ngt_tpu.create(
+        None, dimension=8, truncation_threshold=10, edge_size_for_creation=8,
+        bulk_append_threshold=10_000,  # force the incremental path
+    )
+    idx.batch_insert(data[:300], build=True)   # fresh -> bulk
+    idx.batch_insert(data[300:], build=True)   # appends -> incremental
+    assert idx.verify() == []
+    n = idx.store.repository_size
+    deg = idx.graph.degree[:n][idx.graph._has_node[:n]]
+    # relink can push a row one past the cap transiently, but growth must
+    # stay bounded near the threshold rather than at e_max
+    assert deg.max() <= idx.graph.e_max
+    assert np.median(deg) <= 11
+    assert deg.min() >= 1  # no node got orphaned by truncation
+    # searchability: every object still findable as its own nearest
+    q = data[::30]
+    ids, _ = idx.batch_search(q, size=1, epsilon=0.1)
+    found = (np.asarray(ids)[:, 0] == np.arange(0, 900, 30)).mean()
+    assert found >= 0.9

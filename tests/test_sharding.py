@@ -301,3 +301,27 @@ def test_sharded_recall_100k():
     ids, _ = sidx.batch_search(queries, size=k, epsilon=0.1)
     rec = recall_at_k(np.asarray(ids), np.asarray(gt_ids), k)
     assert rec >= 0.95, f"sharded recall@10 {rec} at n={n}"
+
+
+def test_multihost_helpers_single_process():
+    """Multi-host helpers must degrade to the single-process case: a global
+    mesh over the virtual devices, all shards owned by process 0, and
+    local_shard_array assembling the same sharded global array the
+    single-host path would."""
+    import jax
+    from ngt_tpu.parallel import multihost
+
+    assert multihost.initialize() is False  # no coordinator -> no-op
+    mesh = multihost.make_global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    owners = multihost.process_shard_slices(mesh)
+    assert list(owners.keys()) == [0]
+    assert owners[0] == list(range(mesh.devices.size))
+
+    p = mesh.devices.size
+    local = np.stack([
+        np.full((4, 8), i, np.float32) for i in range(p)
+    ])
+    arr = multihost.local_shard_array(mesh, (p * 4, 8), local)
+    got = np.asarray(arr).reshape(p, 4, 8)
+    np.testing.assert_array_equal(got, local)
