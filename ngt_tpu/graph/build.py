@@ -66,9 +66,10 @@ def _fused_insert_search(
 ):
     """Seed scoring + insertion search + intra-batch pairwise top-k as ONE
     device program (the whole device side of a build batch)."""
-    # seeds from representatives (one matmul; replaces tree descent)
-    sd = D.pairwise(metric, queries, rep_rows, x_sqnorm=rep_sq)
-    _, si = jax.lax.top_k(-sd, min(s, rep_rows.shape[0]))
+    # seeds from representatives (one bf16 matmul; replaces tree descent).
+    # seed_scores/approx_max_k: selection-only, re-scored in graph_search
+    sd = D.seed_scores(metric, queries, rep_rows, rep_sq=rep_sq)
+    _, si = jax.lax.approx_max_k(-sd, min(s, rep_rows.shape[0]))
     seeds = jnp.take(rep_ids, si, axis=0)
     res = graph_search(
         x, nbr, valid, queries, seeds,
@@ -105,8 +106,8 @@ def _fused_insert_search_sq8(
     the top candidates are re-ranked EXACTLY against the f32 rows so the
     edges stored in the graph carry true distances.  Build quality matches
     the exact path up to candidate-set differences from int8 rounding."""
-    sd = D.pairwise(metric, queries, rep_rows, x_sqnorm=rep_sq)
-    _, si = jax.lax.top_k(-sd, min(s, rep_rows.shape[0]))
+    sd = D.seed_scores(metric, queries, rep_rows, rep_sq=rep_sq)
+    _, si = jax.lax.approx_max_k(-sd, min(s, rep_rows.shape[0]))
     seeds = jnp.take(rep_ids, si, axis=0)
     k_cand = 2 * k
     res = graph_search(
@@ -401,7 +402,7 @@ def _cc_labels_pass(nbr, valid, labels0=None):
     return labels
 
 
-def _cc_labels_device(nbr, valid, narrow: int = 8):
+def _cc_labels_device(nbr, valid, narrow: int | None = None):
     """Exact CC labels with most of the edge traffic elided: a k-NN row is
     sorted by distance, so its first few neighbors already stitch together
     almost every component — run the propagation rounds on ``nbr[:, :narrow]``
@@ -409,7 +410,13 @@ def _cc_labels_device(nbr, valid, narrow: int = 8):
     finish on the FULL width starting from those labels.  The full-width
     pass converges in ~1 round when the narrow subgraph already found the
     partition, and guarantees exactness when it didn't (it is the same
-    fixpoint iteration, just warm-started)."""
+    fixpoint iteration, just warm-started).  NGT_TPU_CC_NARROW overrides
+    the narrow width (0 disables the warm start) for in-situ A/B timing;
+    partitions are identical either way (measured at 1M)."""
+    import os
+
+    if narrow is None:
+        narrow = int(os.environ.get("NGT_TPU_CC_NARROW", "8"))
     e = nbr.shape[1]
     labels = None
     if 0 < narrow < e:

@@ -345,8 +345,12 @@ def _seeded_search(
 ):
     """Seed scoring (one matmul over representative rows) + graph search as
     a single device program — one dispatch per query batch."""
-    sd = D.pairwise(metric, queries, rep_rows, x_sqnorm=rep_sq)
-    _, si = jax.lax.top_k(-sd, min(s, rep_rows.shape[0]))
+    # seed_scores + approx_max_k: selection-only scores, one bf16 MXU pass
+    # and a PartialReduce pick (exact top_k over [B, reps] costs ~60 ms at
+    # the rep counts a 1M index uses — ~25% of an eps=0 batch); the chosen
+    # seed ids are re-scored exactly inside graph_search
+    sd = D.seed_scores(metric, queries, rep_rows, rep_sq=rep_sq)
+    _, si = jax.lax.approx_max_k(-sd, min(s, rep_rows.shape[0]))
     seeds = jnp.take(rep_ids, si, axis=0)
     return graph_search(
         x, nbr, valid, queries, seeds,

@@ -147,6 +147,47 @@ def pairwise(
     raise ValueError(f"unsupported metric: {metric!r}")
 
 
+def seed_scores(
+    metric: DistanceType,
+    q: jax.Array,
+    reps: jax.Array,
+    rep_sq: jax.Array | None = None,
+) -> jax.Array:
+    """Approximate scores for SEED SELECTION only — one bf16 MXU pass
+    instead of the ~3 f32-precision passes of ``pairwise``.
+
+    Safe because every consumer uses the scores only to pick representative
+    IDS (graph_search re-scores the chosen seeds exactly in-program, so no
+    approximate value ever enters a result or a pool radius).  Monotone
+    surrogates are used where cheaper (squared L2, negated dot).  bf16
+    resolution argument: L2 rows are centered on the rep mean first
+    (translation invariance — the same trick as the bulk scan's bf16 score
+    tile), normalized metrics are unit-scale already.  Exotic metrics fall
+    back to the exact ``pairwise``."""
+    metric = DistanceType(metric)
+    if metric in NORMALIZED_METRICS:
+        qf = q.astype(_F32)
+        dot = jnp.dot(
+            qf.astype(jnp.bfloat16), reps.astype(jnp.bfloat16).T,
+            preferred_element_type=_F32,
+        )
+        return -dot  # all normalized metrics are monotone-decreasing in dot
+    if metric == DistanceType.L2:
+        qf = q.astype(_F32)
+        rf = reps.astype(_F32)
+        mu = jnp.mean(rf, axis=0)
+        qc = qf - mu[None, :]
+        rc = rf - mu[None, :]
+        dot = jnp.dot(
+            qc.astype(jnp.bfloat16), rc.astype(jnp.bfloat16).T,
+            preferred_element_type=_F32,
+        )
+        q_sq = jnp.sum(qc * qc, axis=-1)
+        r_sq = jnp.sum(rc * rc, axis=-1)
+        return q_sq[:, None] + r_sq[None, :] - 2.0 * dot  # squared L2
+    return pairwise(metric, q, reps, x_sqnorm=rep_sq)
+
+
 def _sparse_jaccard_pairwise(q_ids: jax.Array, x_ids: jax.Array) -> jax.Array:
     """q_ids: [B, L], x_ids: [N, L] int32, -1 padded, each row's valid ids unique.
 
