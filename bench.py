@@ -154,6 +154,29 @@ def main():
                 f"qps={len(aq)/dt:.0f} build={ab:.1f}s",
                 file=sys.stderr,
             )
+        # the reference's published glove curves come from the ONNG recipe
+        # (create -E 40 -> reconstruct-graph -o 10 -i 120,
+        # bin/ngt/README.md:329-338) — run the same pipeline here
+        from ngt_tpu.optimizer import GraphOptimizer
+
+        t0 = time.time()
+        GraphOptimizer(
+            out_edges=10, in_edges=120, tune_parameters=False
+        ).execute(aidx)
+        print(
+            f"# angular100k onng reconstruct={time.time()-t0:.1f}s",
+            file=sys.stderr,
+        )
+        for eps in (0.02, 0.05, 0.1):
+            ids, dt = timed(
+                lambda e=eps: aidx.batch_search(aq, size=10, epsilon=e)
+            )
+            arec = recall_at_k(np.asarray(ids), np.asarray(agt), 10)
+            print(
+                f"# angular100k-onng(auto) eps={eps} recall@10={arec:.4f} "
+                f"qps={len(aq)/dt:.0f}",
+                file=sys.stderr,
+            )
     except Exception as exc:  # pragma: no cover
         print(f"# angular bench skipped: {exc}", file=sys.stderr)
 

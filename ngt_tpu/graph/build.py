@@ -798,6 +798,7 @@ def build_bulk(
             # fresh build: graph membership == store validity, so the
             # device valid mask stands in for has_node (not host-set yet)
             first_labels = np.asarray(_cc_labels_device(nbr_dev, valid))
+        mark("cc")
         graph._has_node[:] = False
         graph._has_node[pending] = True
         # the ~650 MB adjacency download (24 s of the round-2 66 s build
