@@ -383,18 +383,41 @@ def _cc_labels_pass(nbr, valid, labels0=None):
         )
         return l
 
+    def pull_fixpoint(l):
+        # gather-only propagation rounds: measured 81 ms vs 132 ms with the
+        # scatter-push at [1M, 8] (983 ms at [1M, 64]) — TPU scatter-min
+        # with colliding indices is the expensive half, so run the cheap
+        # pull+jump operator to ITS fixpoint first
+        def pcond(st):
+            i, _, ch = st
+            return ch & (i < 64)
+
+        def pbody(st):
+            i, l, _ = st
+            nl = jnp.where(edge_ok, jnp.take(l, safe), none)
+            new = jnp.minimum(l, jnp.min(nl, axis=1))
+            new = jump_fixpoint(new)
+            new = jnp.where(valid, new, none)
+            return i + 1, new, jnp.any(new != l)
+
+        _, l, _ = jax.lax.while_loop(
+            pcond, pbody, (jnp.int32(0), l, jnp.bool_(True))
+        )
+        return l
+
     def body(st):
         i, labels, _ = st
-        nl = jnp.where(edge_ok, jnp.take(labels, safe), none)
-        new = jnp.minimum(labels, jnp.min(nl, axis=1))
-        # push to neighbors (symmetrize the propagation)
+        l = pull_fixpoint(labels)
+        # one push round (symmetrize): at the pull fixpoint an unchanged
+        # push proves convergence of the full pull+push operator — exact
+        # CC labels; a changed push re-enters the pull fixpoint
         push = jnp.where(
-            edge_ok, jnp.broadcast_to(new[:, None], nbr.shape), none
+            edge_ok, jnp.broadcast_to(l[:, None], nbr.shape), none
         )
-        new = new.at[safe.reshape(-1)].min(push.reshape(-1))
+        new = l.at[safe.reshape(-1)].min(push.reshape(-1))
         new = jump_fixpoint(new)
         new = jnp.where(valid, new, none)
-        return i + 1, new, jnp.any(new != labels)
+        return i + 1, new, jnp.any(new != l)
 
     _, labels, _ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), labels0, jnp.bool_(True))
@@ -403,20 +426,18 @@ def _cc_labels_pass(nbr, valid, labels0=None):
 
 
 def _cc_labels_device(nbr, valid, narrow: int | None = None):
-    """Exact CC labels with most of the edge traffic elided: a k-NN row is
-    sorted by distance, so its first few neighbors already stitch together
-    almost every component — run the propagation rounds on ``nbr[:, :narrow]``
-    first (each round gathers/scatters ``narrow/E`` of the edge bytes), then
-    finish on the FULL width starting from those labels.  The full-width
-    pass converges in ~1 round when the narrow subgraph already found the
-    partition, and guarantees exactness when it didn't (it is the same
-    fixpoint iteration, just warm-started).  NGT_TPU_CC_NARROW overrides
-    the narrow width (0 disables the warm start) for in-situ A/B timing;
-    partitions are identical either way (measured at 1M)."""
+    """Exact CC labels.  A narrow warm-start (propagate over ``nbr[:,
+    :narrow]`` first) was measured at 1M and NEVER pays — full-width
+    convergence needs the same ~16 rounds either way (cc= 16.6 s plain vs
+    18.4/20.6 s with narrow 8/16), so the default is narrow=0; the knob
+    stays for A/B (NGT_TPU_CC_NARROW).  The win that did land is in
+    ``_cc_labels_pass``: pull-only rounds to fixpoint with the scatter-push
+    demoted to a convergence check (TPU scatter-min with colliding indices
+    costs ~2x a gather round)."""
     import os
 
     if narrow is None:
-        narrow = int(os.environ.get("NGT_TPU_CC_NARROW", "8"))
+        narrow = int(os.environ.get("NGT_TPU_CC_NARROW", "0"))
     e = nbr.shape[1]
     labels = None
     if 0 < narrow < e:

@@ -163,3 +163,44 @@ def test_zero_padding_neutral(rng):
         a = np.asarray(D.pairwise(metric, jnp.asarray(q), jnp.asarray(x)))
         b = np.asarray(D.pairwise(metric, jnp.asarray(qp), jnp.asarray(xp)))
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_seed_scores_selection_quality(rng):
+    """seed_scores is selection-only and approximate (bf16), but on
+    SIFT-scale data (large norms — the hard case for bf16) its top-10
+    picks must overlap the exact top-10 almost completely, and every pick
+    must rank inside the exact top-20."""
+    import jax.numpy as jnp
+    from ngt_tpu.ops import distances as D
+    from ngt_tpu.properties import DistanceType
+
+    reps = (rng.random(size=(2048, 128)) * 255).astype(np.float32)
+    q = (rng.random(size=(64, 128)) * 255).astype(np.float32)
+    exact = np.asarray(D.pairwise(DistanceType.L2, jnp.asarray(q), jnp.asarray(reps)))
+    approx = np.asarray(
+        D.seed_scores(DistanceType.L2, jnp.asarray(q), jnp.asarray(reps))
+    )
+    ex_top = np.argsort(exact, axis=1, kind="stable")[:, :10]
+    ap_top = np.argsort(approx, axis=1, kind="stable")[:, :10]
+    ex_rank = np.argsort(np.argsort(exact, axis=1, kind="stable"), axis=1)
+    overlaps, worst = [], 0
+    for e, a, r in zip(ex_top, ap_top, ex_rank):
+        overlaps.append(len(set(e) & set(a)) / 10.0)
+        worst = max(worst, int(r[a].max()))
+    assert np.mean(overlaps) >= 0.95
+    assert worst < 20
+
+    # normalized metric branch: monotone surrogate (-dot) must give the
+    # same ordering as the exact cosine distance up to bf16 jitter
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    rn = reps / np.linalg.norm(reps, axis=1, keepdims=True)
+    exact_c = np.asarray(
+        D.pairwise(DistanceType.NORMALIZED_COSINE, jnp.asarray(qn), jnp.asarray(rn))
+    )
+    approx_c = np.asarray(
+        D.seed_scores(DistanceType.NORMALIZED_COSINE, jnp.asarray(qn), jnp.asarray(rn))
+    )
+    ex_top = np.argsort(exact_c, axis=1, kind="stable")[:, :10]
+    ap_top = np.argsort(approx_c, axis=1, kind="stable")[:, :10]
+    mean_overlap = np.mean([len(set(e) & set(a)) / 10.0 for e, a in zip(ex_top, ap_top)])
+    assert mean_overlap >= 0.9
