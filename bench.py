@@ -156,27 +156,31 @@ def main():
             )
         # the reference's published glove curves come from the ONNG recipe
         # (create -E 40 -> reconstruct-graph -o 10 -i 120,
-        # bin/ngt/README.md:329-338) — run the same pipeline here
-        from ngt_tpu.optimizer import GraphOptimizer
+        # bin/ngt/README.md:329-338).  Measured here (BASELINE.md round-2e):
+        # from this engine's exact-KNNG bulk build the reconstruction only
+        # pays above the ~0.985 recall floor (it REMOVES exact edges), so
+        # the arm is opt-in — the recipe's win case is a weak ANNG start.
+        if os.environ.get("NGT_TPU_BENCH_ANGULAR_ONNG", "0") == "1":
+            from ngt_tpu.optimizer import GraphOptimizer
 
-        t0 = time.time()
-        GraphOptimizer(
-            out_edges=10, in_edges=120, tune_parameters=False
-        ).execute(aidx)
-        print(
-            f"# angular100k onng reconstruct={time.time()-t0:.1f}s",
-            file=sys.stderr,
-        )
-        for eps in (0.02, 0.05, 0.1):
-            ids, dt = timed(
-                lambda e=eps: aidx.batch_search(aq, size=10, epsilon=e)
-            )
-            arec = recall_at_k(np.asarray(ids), np.asarray(agt), 10)
+            t0 = time.time()
+            GraphOptimizer(
+                out_edges=10, in_edges=120, tune_parameters=False
+            ).execute(aidx)
             print(
-                f"# angular100k-onng(auto) eps={eps} recall@10={arec:.4f} "
-                f"qps={len(aq)/dt:.0f}",
+                f"# angular100k onng reconstruct={time.time()-t0:.1f}s",
                 file=sys.stderr,
             )
+            for eps in (0.02, 0.05, 0.1):
+                ids, dt = timed(
+                    lambda e=eps: aidx.batch_search(aq, size=10, epsilon=e)
+                )
+                arec = recall_at_k(np.asarray(ids), np.asarray(agt), 10)
+                print(
+                    f"# angular100k-onng(auto) eps={eps} recall@10={arec:.4f} "
+                    f"qps={len(aq)/dt:.0f}",
+                    file=sys.stderr,
+                )
     except Exception as exc:  # pragma: no cover
         print(f"# angular bench skipped: {exc}", file=sys.stderr)
 
