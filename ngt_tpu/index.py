@@ -266,6 +266,7 @@ class Index:
             else:
                 self.seeder.rep_ids = np.zeros((0,), np.int32)
                 self.seeder._rep_rows = None
+                self.seeder._rep_ids_dev = None
 
     def get_object(self, external_id: int) -> np.ndarray:
         return self.store.get(self._int(external_id))
@@ -417,7 +418,9 @@ class Index:
             mirror.sqnorm,
             rep_rows,
             rep_sq,
-            jnp.asarray(self.seeder.rep_ids),
+            self.seeder._rep_ids_dev
+            if self.seeder._rep_ids_dev is not None
+            else jnp.asarray(self.seeder.rep_ids),
             q,
             jnp.float32(epsilon),
             jnp.float32(radius),

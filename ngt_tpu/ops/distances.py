@@ -165,6 +165,9 @@ def seed_scores(
     tile), normalized metrics are unit-scale already.  Exotic metrics fall
     back to the exact ``pairwise``."""
     metric = DistanceType(metric)
+    # NOTE: the [B, reps] score TILE stays f32 — emitting it in bf16 was
+    # measured to cost ~0.2% recall@10 at 1M (and fails the selection-quality
+    # test); the HBM saved on the tile write does not pay for it.
     if metric in NORMALIZED_METRICS:
         qf = q.astype(_F32)
         dot = jnp.dot(

@@ -33,8 +33,7 @@ from ngt_tpu.seeds import default_reps
 _F32 = jnp.float32
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "k"))
-def _exact_rerank(x, queries, cand_ids, cand_ok, metric, k):
+def _rerank_body(x, queries, cand_ids, cand_ok, metric, k):
     """Re-rank candidate ids exactly (reference resultExpansion re-rank,
     QuantizedGraph.h:270-299)."""
     safe = jnp.clip(cand_ids, 0, x.shape[0] - 1)
@@ -46,6 +45,50 @@ def _exact_rerank(x, queries, cand_ids, cand_ok, metric, k):
     dd = -neg
     ids = jnp.where(jnp.isfinite(dd), ids, -1)
     return ids, dd
+
+
+_exact_rerank = functools.partial(jax.jit, static_argnames=("metric", "k"))(
+    _rerank_body
+)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "metric", "k", "k_exp", "s", "width", "hash_bits", "exact_hash",
+        "expand", "normalize_q",
+    ),
+)
+def _sq8_fused_search(
+    blocks, nbr_eb, valid, codes, x, rep_rows, rep_sq, rep_ids, q,
+    sq_scale, epsilon, edge_limit, *, metric, k, k_exp, s, width,
+    hash_bits, exact_hash, expand, normalize_q,
+):
+    """Seed selection + sq8 block traversal + exact re-rank as ONE device
+    program.  The un-fused wrapper paid 3+ dispatches per batch over the
+    tunneled device (eager seed ops, graph_search, rerank) — the measured
+    gap between direct graph_search calls and the production wrapper at 1M
+    (BASELINE.md round 2e: 24.7k vs 21.6k qps)."""
+    # 1. seed selection (selection-only scores; the traversal re-scores the
+    #    chosen seeds exactly against the sq8 codes in-program)
+    sd = D.seed_scores(metric, q, rep_rows, rep_sq=rep_sq)
+    _, si = jax.lax.approx_max_k(-sd, min(s, rep_rows.shape[0]))
+    seeds = jnp.take(rep_ids, si, axis=0)
+    # 2. scaled queries for the sq8 scorer (plain angular metrics normalize
+    #    to match the normalized codes — see _sq8_rows)
+    qdv = q.astype(jnp.float32)
+    if normalize_q:
+        qn = jnp.sqrt(jnp.sum(qdv * qdv, axis=1, keepdims=True))
+        qdv = qdv / jnp.maximum(qn, 1e-30)
+    res = graph_search(
+        blocks, nbr_eb, valid, qdv / sq_scale, seeds,
+        metric=DistanceType.L2, k=k_exp, k_radius=k,
+        epsilon=epsilon, width=width, edge_size=edge_limit,
+        hash_bits=hash_bits, exact_hash=exact_hash, expand=expand,
+        scorer=None, block_mode=True, seed_x=codes,
+    )
+    # 3. exact re-rank with the true metric over the f32 mirror
+    return _rerank_body(x, q, res.ids, res.ids >= 0, metric, k)
 
 
 class QuantizedGraphIndex:
@@ -172,9 +215,13 @@ class QuantizedGraphIndex:
             return min(self.block_edges, self.index.graph.e_max)
         cap = self.index.store._x.shape[0]
         m = self.codes.shape[1]
-        # blocks cost cap*eb*m bytes; target <= ~4 GiB but never fewer than
-        # 16 edges per hop (too-narrow blocks cripple traversal quality)
-        budget = (4 << 30) // max(cap * m, 1)
+        # blocks cost cap*eb*m bytes; target <= ~6 GiB (NGT_TPU_QG_BLOCK_GB
+        # overrides) but never fewer than 16 edges per hop (too-narrow
+        # blocks cripple traversal quality).  6 GiB admits full-width eb=40
+        # blocks at 1M x 128d, the measured dominant operating point
+        # (recall@10 0.966 vs 0.949 at eb=32 for ~4% qps; BASELINE.md 2f)
+        gb = float(os.environ.get("NGT_TPU_QG_BLOCK_GB", "6"))
+        budget = int(gb * (1 << 30)) // max(cap * m, 1)
         return int(min(self.index.graph.e_max, max(16, budget)))
 
     def _dev_blocks(self):
@@ -196,6 +243,12 @@ class QuantizedGraphIndex:
             and getattr(self, "_blocks_for", None) == key
         ):
             return self._blocks_dev, self._nbr_eb
+        if getattr(self, "_blocks_dev", None) is not None:
+            # free the stale block tensor BEFORE gathering the new one —
+            # at 1M x eb=32..40 each copy is 4-5 GiB of HBM and holding
+            # both live OOMs the chip on an eb switch
+            self._blocks_dev.delete()
+            self._blocks_dev = None
         self._blocks_for = key
         nbr = mirror.nbr[:, :eb]
         safe = jnp.clip(nbr, 0, cap - 1)
@@ -232,6 +285,19 @@ class QuantizedGraphIndex:
             q = jnp.concatenate([q, jnp.tile(q[:1], (bpad - b0, 1))], axis=0)
 
         k_exp = max(int(math.ceil(size * max(result_expansion, 1.0))), size)
+        if idx.seeder.num_reps == 0 and idx.graph.node_count() > 0:
+            live = np.nonzero(idx.graph._has_node)[0].astype(np.int32)
+            idx.seeder.refresh(live, idx.store._x, default_reps(len(live)))
+
+        if (
+            self.mode == "sq8"
+            and idx.seeder._rep_rows is not None
+            and os.environ.get("NGT_TPU_QG_NO_FUSE", "") != "1"
+        ):
+            return self._batch_search_fused(
+                q, b0, size, k_exp, epsilon, edge_size, width, expand
+            )
+
         if self.mode == "sq8":
             # scaled queries: d_scaled = ||q/s - c||, monotone with the true
             # quantized distance (single global scale) — plain L2 scorer.
@@ -253,9 +319,6 @@ class QuantizedGraphIndex:
             queries_dev = lut.reshape(lut.shape[0], -1)
             scorer = make_packed_scorer(self.pq.m, self.pq.ksub)
 
-        if idx.seeder.num_reps == 0 and idx.graph.node_count() > 0:
-            live = np.nonzero(idx.graph._has_node)[0].astype(np.int32)
-            idx.seeder.refresh(live, idx.store._x, default_reps(len(live)))
         seeds = idx.seeder.seeds_for(q, seed_size=idx.prop.seed_size)
 
         from ngt_tpu.index import _wrap_hash_bits
@@ -290,6 +353,41 @@ class QuantizedGraphIndex:
         )
         ids, dists = _exact_rerank(
             mirror.x, q, res.ids, res.ids >= 0, idx.store.metric, int(size)
+        )
+        ids, dists = jax.device_get((ids, dists))
+        return idx._ext(ids[:b0]), dists[:b0]
+
+    def _batch_search_fused(
+        self, q, b0, size, k_exp, epsilon, edge_size, width, expand
+    ):
+        """sq8 fast path: one fused device program per batch
+        (_sq8_fused_search) instead of eager seed ops + traversal + rerank."""
+        idx = self.index
+        mirror = idx._ensure_mirror()
+        from ngt_tpu.index import _wrap_hash_bits
+
+        bits, exact = _wrap_hash_bits(mirror.capacity,
+                                      idx.prop.visited_bits_log2)
+        blocks, nbr_eb = self._dev_blocks()
+        eb = nbr_eb.shape[1]
+        e = (
+            min(idx.prop.edge_size_for_search, eb)
+            if edge_size in (-1, 0)
+            else min(int(edge_size), eb)
+        )
+        seeder = idx.seeder
+        ids, dists = _sq8_fused_search(
+            blocks, nbr_eb, mirror.valid, self._dev_codes(), mirror.x,
+            seeder._rep_rows, seeder._rep_sq, seeder._rep_ids_dev,
+            q, jnp.float32(self.sq_scale), jnp.float32(epsilon),
+            jnp.int32(e),
+            metric=idx.store.metric, k=int(size), k_exp=int(k_exp),
+            s=int(idx.prop.seed_size),
+            width=width if width > 0 else max(64, 2 * k_exp),
+            hash_bits=bits, exact_hash=exact,
+            expand=expand if expand > 0 else max(idx.prop.search_expand, 1),
+            normalize_q=idx.store.metric in
+            (DistanceType.COSINE, DistanceType.ANGLE),
         )
         ids, dists = jax.device_get((ids, dists))
         return idx._ext(ids[:b0]), dists[:b0]

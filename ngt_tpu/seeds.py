@@ -49,6 +49,7 @@ class Seeder:
         self.rep_ids: np.ndarray = np.zeros((0,), np.int32)
         self._rep_rows: jax.Array | None = None
         self._rep_sq: jax.Array | None = None
+        self._rep_ids_dev: jax.Array | None = None
         self._rng = np.random.default_rng(0x5EED)
 
     @property
@@ -84,6 +85,9 @@ class Seeder:
         rows = jnp.asarray(x_host[self.rep_ids])
         self._rep_rows = rows
         self._rep_sq = D.sq_norms(rows)
+        # device copy: re-uploading rep_ids per batch costs ~1 ms over the
+        # tunneled device at 1M-scale rep counts
+        self._rep_ids_dev = jnp.asarray(self.rep_ids)
 
     def verify(self, live_mask: np.ndarray, x_host: np.ndarray) -> list:
         """Seed-structure invariants — the role of DVPTree::verify
@@ -125,7 +129,7 @@ class Seeder:
         # seeds are a heuristic entry set, and measured recall at 1M is
         # unchanged.  On CPU backends this lowers to an exact reduction.
         _, idx = jax.lax.approx_max_k(-d, s_eff)
-        ids = jnp.take(jnp.asarray(self.rep_ids), idx, axis=0)
+        ids = jnp.take(self._rep_ids_dev, idx, axis=0)
         if s_eff < s:
             ids = jnp.concatenate(
                 [ids, jnp.full((queries.shape[0], s - s_eff), -1, jnp.int32)], axis=1

@@ -183,6 +183,38 @@ def test_search_mode_auto_routing(rng):
     assert rec2 >= 0.9
 
 
+def test_sq8_fused_matches_eager(rng, monkeypatch):
+    """The fused sq8 program (seed select + traversal + rerank in ONE device
+    program) must return the same results as the eager route it replaced —
+    NGT_TPU_QG_NO_FUSE=1 forces the eager path for the A/B."""
+    data = rng.normal(size=(1500, 24)).astype(np.float32)
+    queries = rng.normal(size=(32, 24)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=24, search_mode="qg")
+    idx.batch_insert(data, build=True)
+    ids_f, d_f = idx.batch_search(queries, size=10, epsilon=0.1)
+    monkeypatch.setenv("NGT_TPU_QG_NO_FUSE", "1")
+    ids_e, d_e = idx.batch_search(queries, size=10, epsilon=0.1)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_e), rtol=1e-5)
+    assert (np.asarray(ids_f) == np.asarray(ids_e)).mean() > 0.99  # ties only
+
+
+def test_sq8_fused_cosine(rng, monkeypatch):
+    """Fused path on a normalized metric: queries are normalized in-program
+    (normalize_q) and must match the eager route."""
+    data = rng.normal(size=(1200, 24)).astype(np.float32)
+    queries = rng.normal(size=(24, 24)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=24, distance_type="Cosine",
+                         search_mode="qg")
+    idx.batch_insert(data, build=True)
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+    ids_f, d_f = idx.batch_search(queries, size=10, epsilon=0.1)
+    rec = recall_at_k(np.asarray(ids_f), np.asarray(gt_ids), 10)
+    assert rec >= 0.9, f"fused cosine recall {rec}"
+    monkeypatch.setenv("NGT_TPU_QG_NO_FUSE", "1")
+    ids_e, d_e = idx.batch_search(queries, size=10, epsilon=0.1)
+    np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_e), rtol=1e-5)
+
+
 # ---------------------------------------------------------------- IVF+PQ ----
 
 
