@@ -276,14 +276,6 @@ class QuantizedGraphIndex:
         bin/ngtqg/README.md:62-69)."""
         idx = self.index
         mirror = idx._ensure_mirror()
-        q = idx.store.prepare_queries(np.asarray(queries, dtype=np.float32))
-        b0 = q.shape[0]
-        from ngt_tpu.graph.build import _bucket
-
-        bpad = _bucket(b0)
-        if bpad != b0:
-            q = jnp.concatenate([q, jnp.tile(q[:1], (bpad - b0, 1))], axis=0)
-
         k_exp = max(int(math.ceil(size * max(result_expansion, 1.0))), size)
         if idx.seeder.num_reps == 0 and idx.graph.node_count() > 0:
             live = np.nonzero(idx.graph._has_node)[0].astype(np.int32)
@@ -291,12 +283,26 @@ class QuantizedGraphIndex:
 
         if (
             self.mode == "sq8"
+            and not idx.store.sparse
             and idx.seeder._rep_rows is not None
             and os.environ.get("NGT_TPU_QG_NO_FUSE", "") != "1"
         ):
+            # route BEFORE uploading: the fused path uploads per chunk so
+            # chunk i+1's host->device transfer overlaps chunk i's compute
+            qh = np.asarray(queries, dtype=np.float32)
+            if qh.ndim == 1:
+                qh = qh[None, :]
             return self._batch_search_fused(
-                q, b0, size, k_exp, epsilon, edge_size, width, expand
+                qh, size, k_exp, epsilon, edge_size, width, expand
             )
+
+        q = idx.store.prepare_queries(np.asarray(queries, dtype=np.float32))
+        b0 = q.shape[0]
+        from ngt_tpu.graph.build import _bucket
+
+        bpad = _bucket(b0)
+        if bpad != b0:
+            q = jnp.concatenate([q, jnp.tile(q[:1], (bpad - b0, 1))], axis=0)
 
         if self.mode == "sq8":
             # scaled queries: d_scaled = ||q/s - c||, monotone with the true
@@ -358,12 +364,17 @@ class QuantizedGraphIndex:
         return idx._ext(ids[:b0]), dists[:b0]
 
     def _batch_search_fused(
-        self, q, b0, size, k_exp, epsilon, edge_size, width, expand
+        self, qh, size, k_exp, epsilon, edge_size, width, expand
     ):
-        """sq8 fast path: one fused device program per batch
-        (_sq8_fused_search) instead of eager seed ops + traversal + rerank."""
+        """sq8 fast path: the batch runs as CHUNKED dispatches of one fused
+        device program (_sq8_fused_search) instead of eager seed ops +
+        traversal + rerank.  Chunking pipelines the ~100 MB/s tunnel: chunk
+        i+1's query upload overlaps chunk i's compute, and all result
+        downloads are deferred to one device_get.  Measured at 1M/batch 8192:
+        20.5k qps unchunked -> 26.4k at chunk=2048 (BASELINE.md round 2f)."""
         idx = self.index
         mirror = idx._ensure_mirror()
+        from ngt_tpu.graph.build import _bucket
         from ngt_tpu.index import _wrap_hash_bits
 
         bits, exact = _wrap_hash_bits(mirror.capacity,
@@ -376,11 +387,7 @@ class QuantizedGraphIndex:
             else min(int(edge_size), eb)
         )
         seeder = idx.seeder
-        ids, dists = _sq8_fused_search(
-            blocks, nbr_eb, mirror.valid, self._dev_codes(), mirror.x,
-            seeder._rep_rows, seeder._rep_sq, seeder._rep_ids_dev,
-            q, jnp.float32(self.sq_scale), jnp.float32(epsilon),
-            jnp.int32(e),
+        kw = dict(
             metric=idx.store.metric, k=int(size), k_exp=int(k_exp),
             s=int(idx.prop.seed_size),
             width=width if width > 0 else max(64, 2 * k_exp),
@@ -389,8 +396,35 @@ class QuantizedGraphIndex:
             normalize_q=idx.store.metric in
             (DistanceType.COSINE, DistanceType.ANGLE),
         )
-        ids, dists = jax.device_get((ids, dists))
-        return idx._ext(ids[:b0]), dists[:b0]
+        b0 = qh.shape[0]
+        chunk = int(os.environ.get("NGT_TPU_QG_CHUNK", "2048"))
+        if b0 <= chunk:
+            # single dispatch, pow2-bucketed like the eager path
+            bounds = [(0, b0, _bucket(b0))]
+        else:
+            # full chunks (only the last is row-padded) so ONE compiled
+            # program shape serves every chunk of every large batch
+            bounds = [
+                (i, min(i + chunk, b0), chunk) for i in range(0, b0, chunk)
+            ]
+        outs = []
+        for lo, hi, pad in bounds:
+            qc = qh[lo:hi]
+            if hi - lo < pad:
+                qc = np.concatenate(
+                    [qc, np.repeat(qc[:1], pad - (hi - lo), axis=0)], axis=0
+                )
+            qd = idx.store.prepare_queries(qc)
+            outs.append(_sq8_fused_search(
+                blocks, nbr_eb, mirror.valid, self._dev_codes(), mirror.x,
+                seeder._rep_rows, seeder._rep_sq, seeder._rep_ids_dev,
+                qd, jnp.float32(self.sq_scale), jnp.float32(epsilon),
+                jnp.int32(e), **kw,
+            ))
+        got = jax.device_get(outs)
+        ids = np.concatenate([g[0] for g in got], axis=0)[:b0]
+        dists = np.concatenate([g[1] for g in got], axis=0)[:b0]
+        return idx._ext(ids), dists
 
     def search(self, query, size: int = 10, epsilon: float = 0.02,
                result_expansion: float = 3.0):

@@ -198,6 +198,20 @@ def test_sq8_fused_matches_eager(rng, monkeypatch):
     assert (np.asarray(ids_f) == np.asarray(ids_e)).mean() > 0.99  # ties only
 
 
+def test_sq8_fused_chunked_matches_unchunked(rng, monkeypatch):
+    """Chunked dispatch (upload/compute pipelining) must return exactly the
+    whole-batch results — including the row-padded final chunk."""
+    data = rng.normal(size=(1500, 24)).astype(np.float32)
+    queries = rng.normal(size=(100, 24)).astype(np.float32)  # 3 chunks + pad
+    idx = ngt_tpu.create(None, dimension=24, search_mode="qg")
+    idx.batch_insert(data, build=True)
+    ids_u, d_u = idx.batch_search(queries, size=10, epsilon=0.1)
+    monkeypatch.setenv("NGT_TPU_QG_CHUNK", "48")
+    ids_c, d_c = idx.batch_search(queries, size=10, epsilon=0.1)
+    np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_u), rtol=1e-5)
+    assert (np.asarray(ids_c) == np.asarray(ids_u)).mean() > 0.99
+
+
 def test_sq8_fused_cosine(rng, monkeypatch):
     """Fused path on a normalized metric: queries are normalized in-program
     (normalize_q) and must match the eager route."""
