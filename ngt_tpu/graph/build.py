@@ -425,6 +425,104 @@ def _cc_labels_pass(nbr, valid, labels0=None):
     return labels
 
 
+@jax.jit
+def _cc_cross_count(nbr, l0):
+    """Count edges whose endpoints hold different component labels."""
+    n = nbr.shape[0]
+    safe = jnp.clip(nbr, 0, n - 1)
+    el = jnp.where(nbr >= 0, jnp.take(l0, safe), l0[:, None])
+    return jnp.sum(el != l0[:, None])
+
+
+@functools.partial(jax.jit, static_argnames=("B",))
+def _cc_cross_pairs(nbr, l0, B):
+    """Compact the label pairs of cross-component edges into a [B] buffer
+    (B >= the true count; padding slots emit the no-op pair (0, 0))."""
+    n, e = nbr.shape
+    safe = jnp.clip(nbr, 0, n - 1)
+    el = jnp.where(nbr >= 0, jnp.take(l0, safe), l0[:, None])
+    cross = (el != l0[:, None]).ravel()
+    cnt = jnp.sum(cross)
+    idx = jnp.nonzero(cross, size=B, fill_value=0)[0]
+    ok = jnp.arange(B) < cnt
+    a = jnp.where(ok, jnp.take(l0, (idx // e).astype(jnp.int32)), 0)
+    b = jnp.where(ok, jnp.take(el.ravel(), idx), 0)
+    return a, b
+
+
+def _cc_labels_bulk(dev_chunks, pending, cap, nbr_dev, valid_dev, has_host):
+    """Exact CC labels for the fresh bulk build, computed host-side in ONE
+    shot instead of iterating on the device.
+
+    A cold full-width device pass needs ~16 pull rounds of ~750 ms each at
+    [1M, 80] — 15.6 s of the 63 s 1M build — and a warm start cannot fix
+    that: min-propagation pays O(log diameter) rounds whenever narrow
+    components chain together (measured: warm verify 14.8 s ~= cold).  So
+    finish the problem where iteration is free: (1) union-find on the host
+    over each node's first ~8 scan candidates (the ~36 MB download and the
+    0.2 s union-find overlap the ``_bulk_graph_rows`` program still
+    executing on device), (2) ONE device gather pass extracts just the
+    edges that CROSS narrow components (compacted on device; they are rare
+    exactly when components exist at all), (3) a host union over those
+    pairs.  Out-edges are never dropped by the row merge, so narrow-UF +
+    all cross edges over the merged rows is the exact full partition.
+    Falls back to the cold device pass when cross edges exceed the
+    download budget (~well-mixed data, where narrow-UF usually yields one
+    component and zero cross edges anyway).  NGT_TPU_CC_DEVICE_COLD=1
+    forces the cold device pass."""
+    import os
+
+    if os.environ.get("NGT_TPU_CC_DEVICE_COLD", "") == "1" or not len(pending):
+        return np.asarray(_cc_labels_device(nbr_dev, valid_dev))
+    import time as _t
+
+    from ngt_tpu import native
+
+    prof = os.environ.get("NGT_TPU_BUILD_PROFILE", "") == "1"
+    t0 = _t.time()
+    w = 9  # 8 nearest + the self column the scan keeps
+    parts = jax.device_get([c[0][:, :w] for c in dev_chunks])
+    host_i = parts[0] if len(parts) == 1 else np.concatenate(parts)
+    narrow = np.full((cap, host_i.shape[1]), -1, np.int32)
+    narrow[pending] = host_i
+    t1 = _t.time()
+    labels, _ = native.connected_components(narrow, has_host)
+    t2 = _t.time()
+    l0 = jnp.asarray(np.where(labels >= 0, labels, cap).astype(np.int32))
+    cnt = int(_cc_cross_count(nbr_dev, l0))
+    t3 = _t.time()
+    if cnt > (16 << 20):  # >128 MB of pair downloads: iterate on device
+        out = np.asarray(_cc_labels_device(nbr_dev, valid_dev))
+        if prof:
+            import sys
+
+            print(
+                f"# cc_bulk: cross={cnt} over budget -> cold device pass",
+                file=sys.stderr,
+            )
+        return out
+    if cnt == 0:
+        merged, _ = native.union_pairs(
+            labels, np.zeros(0, np.int32), np.zeros(0, np.int32)
+        )
+    else:
+        a, b = jax.device_get(
+            _cc_cross_pairs(nbr_dev, l0, _bucket(cnt))
+        )
+        merged, _ = native.union_pairs(labels, a, b)
+    out = np.where(merged >= 0, merged, cap).astype(np.int32)
+    if prof:
+        import sys
+
+        print(
+            f"# cc_bulk: dl={t1 - t0:.1f}s uf={t2 - t1:.1f}s "
+            f"count={t3 - t2:.1f}s cross={cnt} "
+            f"pairs+union={_t.time() - t3:.1f}s",
+            file=sys.stderr,
+        )
+    return out
+
+
 def _cc_labels_device(nbr, valid, narrow: int | None = None):
     """Exact CC labels.  A narrow warm-start (propagate over ``nbr[:,
     :narrow]`` first) was measured at 1M and NEVER pays — full-width
@@ -812,13 +910,19 @@ def build_bulk(
             e_max=graph.e_max, cap=cap,
             reverse=prop.graph_type != GraphType.KNNG,
         )
-        mark("rows", nbr_dev)
+        # no sync: the narrow-id download + host union-find below overlap
+        # the rows program still executing on the device, so a blocking
+        # profile mark here would serialize what production overlaps
+        mark("rows")
         n_used = int(pending.max()) + 1 if len(pending) else 1
         first_labels = None
         if prop.graph_type != GraphType.KNNG:
             # fresh build: graph membership == store validity, so the
             # device valid mask stands in for has_node (not host-set yet)
-            first_labels = np.asarray(_cc_labels_device(nbr_dev, valid))
+            first_labels = _cc_labels_bulk(
+                dev_chunks, pending, cap, nbr_dev, valid,
+                store._valid[:cap],
+            )
         mark("cc")
         graph._has_node[:] = False
         graph._has_node[pending] = True

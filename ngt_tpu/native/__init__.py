@@ -59,6 +59,12 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_float),
             ]
+            lib.union_pairs.restype = ctypes.c_int64
+            lib.union_pairs.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64,
+            ]
             lib.merge_edges.restype = None
             lib.merge_edges.argtypes = [
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
@@ -176,6 +182,56 @@ def connected_components(
         labels = new
     live = labels[has_node]
     return labels.astype(np.int32), int(len(np.unique(live)))
+
+
+def union_pairs(
+    labels: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> tuple[np.ndarray, int]:
+    """Union the (representative-id) pairs ``(a[i], b[i])`` into an existing
+    component labeling and return (min-canonical labels, n_components).
+    ``labels`` holds a representative node id per node, -1 for non-nodes.
+    Used to finish connectivity exactly after a narrow union-find: the pairs
+    are the device-extracted edges crossing the narrow components."""
+    n = len(labels)
+    lib = _load()
+    out = np.ascontiguousarray(labels, np.int32).copy()
+    a = np.ascontiguousarray(a, np.int32)
+    b = np.ascontiguousarray(b, np.int32)
+    if lib is not None:
+        comps = lib.union_pairs(
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            np.int64(n),
+            a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            b.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            np.int64(len(a)),
+        )
+        return out, int(comps)
+    # numpy/python fallback (fine at test scale)
+    parent = np.where(labels >= 0, labels, np.arange(n, dtype=np.int32))
+
+    def find(v: int) -> int:
+        r = int(v)
+        while parent[r] != r:
+            parent[r] = parent[parent[r]]
+            r = int(parent[r])
+        return r
+
+    for x, y in zip(a.tolist(), b.tolist()):
+        if 0 <= x < n and 0 <= y < n:
+            rx, ry = find(x), find(y)
+            if rx != ry:
+                parent[ry] = rx
+    roots = np.fromiter(
+        (find(i) if labels[i] >= 0 else -1 for i in range(n)),
+        np.int32, count=n,
+    )
+    mn = np.full(n, n, np.int64)
+    live = np.nonzero(labels >= 0)[0]
+    np.minimum.at(mn, roots[live], live)
+    out = np.where(
+        labels >= 0, mn[np.clip(roots, 0, n - 1)], -1
+    ).astype(np.int32)
+    return out, int(len(np.unique(out[out >= 0])))
 
 
 def constrained_reverse(

@@ -268,4 +268,46 @@ int64_t connected_components(const int32_t *nbr_ids, const uint8_t *has_node,
   return roots;
 }
 
+// Merge extra undirected edges (given in LABEL space) into an existing
+// component labeling: labels[n] int32 in/out holds a component
+// representative per node (-1 for non-nodes; a representative's label is
+// itself).  Pairs (a[i], b[i]) are representative ids to union — the
+// device-extracted edges that CROSS the initial components.  On return
+// labels hold the MIN node id of each merged component.  Returns the
+// component count.
+int64_t union_pairs(int32_t *labels, int64_t n, const int32_t *a,
+                    const int32_t *b, int64_t m) {
+  std::vector<int32_t> parent(n);
+  for (int64_t i = 0; i < n; ++i)
+    parent[i] = labels[i] >= 0 ? labels[i] : static_cast<int32_t>(i);
+  auto find = [&](int32_t v) {
+    while (parent[v] != v) {
+      parent[v] = parent[parent[v]];  // path halving
+      v = parent[v];
+    }
+    return v;
+  };
+  for (int64_t i = 0; i < m; ++i) {
+    const int32_t x = a[i], y = b[i];
+    if (x < 0 || x >= n || y < 0 || y >= n) continue;
+    const int32_t rx = find(x), ry = find(y);
+    if (rx != ry) parent[ry] = rx;
+  }
+  std::vector<int32_t> mn(n, -1);
+  for (int64_t i = 0; i < n; ++i) {
+    if (labels[i] < 0) continue;
+    const int32_t r = find(static_cast<int32_t>(i));
+    if (mn[r] < 0 || static_cast<int32_t>(i) < mn[r])
+      mn[r] = static_cast<int32_t>(i);
+  }
+  int64_t comps = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (labels[i] < 0) continue;
+    const int32_t r = find(static_cast<int32_t>(i));
+    labels[i] = mn[r];
+    if (mn[r] == static_cast<int32_t>(i)) ++comps;
+  }
+  return comps;
+}
+
 }  // extern "C"
