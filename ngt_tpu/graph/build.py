@@ -37,6 +37,7 @@ from ngt_tpu.ops import distances as D
 from ngt_tpu.properties import DistanceType, GraphType, Property
 from ngt_tpu.seeds import Seeder, default_reps
 from ngt_tpu.store import VectorStore
+from ngt_tpu.utils import logger
 
 INF = np.float32(np.inf)
 
@@ -450,7 +451,8 @@ def _cc_cross_pairs(nbr, l0, B):
     return a, b
 
 
-def _cc_labels_bulk(dev_chunks, pending, cap, nbr_dev, valid_dev, has_host):
+def _cc_labels_bulk(dev_chunks, pending, cap, nbr_dev, valid_dev, has_host,
+                    narrow_dev=None):
     """Exact CC labels for the fresh bulk build, computed host-side in ONE
     shot instead of iterating on the device.
 
@@ -481,8 +483,14 @@ def _cc_labels_bulk(dev_chunks, pending, cap, nbr_dev, valid_dev, has_host):
     prof = os.environ.get("NGT_TPU_BUILD_PROFILE", "") == "1"
     t0 = _t.time()
     w = 9  # 8 nearest + the self column the scan keeps
-    parts = jax.device_get([c[0][:, :w] for c in dev_chunks])
-    host_i = parts[0] if len(parts) == 1 else np.concatenate(parts)
+    if narrow_dev is not None:
+        # pre-enqueued single slice program (one dispatch + one transfer;
+        # per-chunk slices cost 8 dispatches of 0.3-1 s each over the
+        # tunnel — measured dl 4-25 s depending on service load)
+        host_i = np.asarray(jax.device_get(narrow_dev))
+    else:
+        parts = jax.device_get([c[0][:, :w] for c in dev_chunks])
+        host_i = parts[0] if len(parts) == 1 else np.concatenate(parts)
     narrow = np.full((cap, host_i.shape[1]), -1, np.int32)
     narrow[pending] = host_i
     t1 = _t.time()
@@ -521,6 +529,13 @@ def _cc_labels_bulk(dev_chunks, pending, cap, nbr_dev, valid_dev, has_host):
             file=sys.stderr,
         )
     return out
+
+
+@functools.partial(jax.jit, static_argnames=("w",))
+def _narrow_slice(all_i, w: int):
+    """First-w columns of the bulk scan ids in ONE device program (the
+    host union-find seed for _cc_labels_bulk)."""
+    return all_i[:, :w]
 
 
 def _cc_labels_device(nbr, valid, narrow: int | None = None):
@@ -843,22 +858,45 @@ def build_bulk(
     qblock = 32 * qtile if fast else 4096
     fresh = graph.node_count() == 0
     dev_chunks = [] if fresh else None
+
+    # scan_impl: the fused Pallas kernel (ops/pallas_scan.py) keeps the
+    # score tiles in VMEM (measured 1.55-1.65x the XLA scan at 1M within
+    # one process); NGT_TPU_SCAN_IMPL=xla reverts.  Engaged only at scale:
+    # the kernel keeps ONE candidate per 128-row window, so its expected
+    # edge loss is C(k+1,2)*128/n — negligible at >=512k rows (<=0.5% of
+    # row edges at k=40, vs 0.06% for the XLA selector) but structurally
+    # wrong at small n (a 200-row corpus spans 2 windows).  The
+    # axon-tunneled runtime also RARELY fails a Pallas dispatch with a
+    # bare INVALID_ARGUMENT (observed ~1 in 20 full-scan sequences,
+    # correlated with fresh buffer layouts, never reproducible with fixed
+    # buffers) — every use below is wrapped so a flake falls back to the
+    # XLA scan instead of failing the build.
+    scan_impl = ""
+    if fast:
+        scan_impl = os.environ.get("NGT_TPU_SCAN_IMPL", "")
+        if not scan_impl:
+            scan_impl = "pallas" if x_fast.shape[0] >= (1 << 19) else "xla"
+
+    def _scan_chunk(chunk, impl):
+        bpad = (
+            ((len(chunk) + qtile - 1) // qtile) * qtile
+            if len(chunk) > qtile
+            else _bucket(len(chunk))
+        )
+        # kc=2(k+1): any TRUE top-(k+1) neighbor ranks <= k+1 within its
+        # own block, so a 2x window never loses it to bf16 noise; the
+        # approximate selector and the re-rank gather both scale with kc
+        return BF.fast_knn_l2_bulk(
+            jnp.asarray(_pad_ids(chunk, bpad)), x_fast, valid, sqn_fast,
+            k=k + 1, kc=2 * (k + 1), qblock=min(qtile, bpad),
+            bf16_tile=os.environ.get("NGT_TPU_SCAN_F32_TILE", "") != "1",
+            scan_impl=impl,
+        )
+
     for off in range(0, len(pending), qblock):
         chunk = pending[off : off + qblock]
         if fast:
-            bpad = (
-                ((len(chunk) + qtile - 1) // qtile) * qtile
-                if len(chunk) > qtile
-                else _bucket(len(chunk))
-            )
-            # kc=2(k+1): any TRUE top-(k+1) neighbor ranks <= k+1 within its
-            # own block, so a 2x window never loses it to bf16 noise; the
-            # approximate selector and the re-rank gather both scale with kc
-            ids, dists = BF.fast_knn_l2_bulk(
-                jnp.asarray(_pad_ids(chunk, bpad)), x_fast, valid, sqn_fast,
-                k=k + 1, kc=2 * (k + 1), qblock=min(qtile, bpad),
-                bf16_tile=os.environ.get("NGT_TPU_SCAN_F32_TILE", "") != "1",
-            )
+            ids, dists = _scan_chunk(chunk, scan_impl)
         else:
             bpad = _bucket(len(chunk))
             qrows = jnp.asarray(store._x[_pad_ids(chunk, bpad)])
@@ -873,7 +911,17 @@ def build_bulk(
                 dists = _l2_to_metric(dists, jnp)
             dev_chunks.append((ids[: len(chunk)], dists[: len(chunk)]))
             continue
-        ids, dists = jax.device_get((ids, dists))
+        try:
+            ids, dists = jax.device_get((ids, dists))
+        except jax.errors.JaxRuntimeError:
+            if scan_impl == "xla" or not fast:
+                raise
+            # incremental chunks apply host-side AFTER this download, so a
+            # per-chunk redo on the XLA path is safe (nothing was applied)
+            logger.warning(
+                "pallas scan dispatch failed; redoing chunk on the XLA scan"
+            )
+            ids, dists = jax.device_get(_scan_chunk(chunk, "xla"))
         ids, dists = ids[: len(chunk)], dists[: len(chunk)]
         if fast:
             dists = _l2_to_metric(dists, np)
@@ -895,16 +943,53 @@ def build_bulk(
 
     nbr_dev = None
     if fresh:
-        mark("scan", dev_chunks[-1])
-        all_i = (
-            jnp.concatenate([c[0] for c in dev_chunks])
-            if len(dev_chunks) > 1 else dev_chunks[0][0]
-        )
-        all_d = (
-            jnp.concatenate([c[1] for c in dev_chunks])
-            if len(dev_chunks) > 1 else dev_chunks[0][1]
-        )
+
+        def _concat(chunks):
+            all_i = (
+                jnp.concatenate([c[0] for c in chunks])
+                if len(chunks) > 1 else chunks[0][0]
+            )
+            all_d = (
+                jnp.concatenate([c[1] for c in chunks])
+                if len(chunks) > 1 else chunks[0][1]
+            )
+            return all_i, all_d
+
+        all_i, all_d = _concat(dev_chunks)
+        # ONE tiny pull forces every enqueued scan chunk (the concat
+        # depends on all of them) so a flaked pallas dispatch surfaces
+        # HERE — before any graph state exists — instead of poisoning a
+        # later download (or, for KNNG, the first post-build search,
+        # where recovery is impossible).  Costs one tunnel round-trip.
+        try:
+            np.asarray(jax.device_get(all_i[0, 0]))
+        except jax.errors.JaxRuntimeError:
+            if scan_impl != "pallas":
+                raise
+            # nothing was applied to the graph yet: redo the whole scan
+            # on the XLA path (best-effort — some flakes poison the
+            # runtime itself, in which case this re-raises)
+            logger.warning(
+                "pallas scan failed at sync; redoing the scan on the XLA "
+                "path"
+            )
+            dev_chunks = []
+            for off in range(0, len(pending), qblock):
+                chunk = pending[off : off + qblock]
+                ids, dists = _scan_chunk(chunk, "xla")
+                dists = _l2_to_metric(dists, jnp)
+                dev_chunks.append((ids[: len(chunk)], dists[: len(chunk)]))
+            all_i, all_d = _concat(dev_chunks)
+            np.asarray(jax.device_get(all_i[0, 0]))
+        mark("scan")
         cap = store._x.shape[0]
+        # enqueue the narrow-id slice BEFORE the rows program so its (one)
+        # transfer is not queued behind the rows compute on the tunnel
+        narrow_dev = (
+            _narrow_slice(all_i, min(9, all_i.shape[1]))
+            if prop.graph_type != GraphType.KNNG
+            else None
+        )
         nbr_dev, nbrd_dev, deg_dev = _bulk_graph_rows(
             jnp.asarray(pending), all_i, all_d,
             e_max=graph.e_max, cap=cap,
@@ -921,7 +1006,7 @@ def build_bulk(
             # device valid mask stands in for has_node (not host-set yet)
             first_labels = _cc_labels_bulk(
                 dev_chunks, pending, cap, nbr_dev, valid,
-                store._valid[:cap],
+                store._valid[:cap], narrow_dev=narrow_dev,
             )
         mark("cc")
         graph._has_node[:] = False

@@ -156,7 +156,8 @@ def fast_knn_l2(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "kc", "qblock", "block", "bf16_tile")
+    jax.jit,
+    static_argnames=("k", "kc", "qblock", "block", "bf16_tile", "scan_impl"),
 )
 def fast_knn_l2_bulk(
     q_ids: jax.Array,       # [Np_pad] int32 ids into x (Np_pad % qblock == 0)
@@ -169,6 +170,7 @@ def fast_knn_l2_bulk(
     qblock: int = 4096,
     block: int = 32768,
     bf16_tile: bool = False,
+    scan_impl: str = "xla",
 ) -> tuple[jax.Array, jax.Array]:
     """Exact k-NN of MANY stored rows against the whole store in ONE device
     program: an outer scan over query tiles wrapping the bf16-scan +
@@ -189,12 +191,23 @@ def fast_knn_l2_bulk(
     pairwise L2 distance unchanged), then the dot tile is emitted in bf16.
     Candidate selection error stays ≪ the candidate spread, and the f32
     re-rank is computed from the ORIGINAL rows either way, so the returned
-    top-k is exact over the selected candidates."""
+    top-k is exact over the selected candidates.
+
+    ``scan_impl="pallas"`` routes the per-block scoring+selection through
+    the fused VMEM kernel (ops/pallas_scan.py): the [B, block] score tile
+    never touches HBM and each 128-column window collapses in-register to
+    one candidate, making the scan matmul-bound instead of HBM-bound.
+    Implies centering (same algebra as bf16_tile); selection is then
+    approx_max_k over the window minima + the same exact f32 re-rank."""
     np_pad = q_ids.shape[0]
     nq_tiles = max(np_pad // qblock, 1)
     b = qblock
     n = x.shape[0]
     kc = kc if kc > 0 else 4 * k
+    use_pallas = scan_impl == "pallas"
+    if use_pallas:
+        bf16_tile = True  # centering path; scores stay f32 in VMEM
+        block = max(((block + 8191) // 8192) * 8192, 8192)
     nblocks = max((n + block - 1) // block, 1)
     n_pad = nblocks * block
     xp = jnp.pad(x, ((0, n_pad - n), (0, 0))) if n_pad != n else x
@@ -246,6 +259,13 @@ def fast_knn_l2_bulk(
                        pos.astype(jnp.int32) + start)
         return carry, ((-neg).astype(_F32), ci)
 
+    if use_pallas:
+        from ngt_tpu.ops import pallas_scan as PS
+
+        sp_masked = jnp.where(vp, sp, PS.BIG)
+        ps_interp = jax.default_backend() != "tpu"
+        ps_qsub = 512 if b % 512 == 0 else b
+
     def qtile_body(_, ti):
         idq = jax.lax.dynamic_slice_in_dim(q_ids, ti * qblock, qblock)
         q = jnp.take(x, jnp.clip(idq, 0, n - 1), axis=0)
@@ -256,16 +276,26 @@ def fast_knn_l2_bulk(
         else:
             q16 = q.astype(jnp.bfloat16)
             q_sq = jnp.sum(q.astype(_F32) ** 2, axis=-1)
-        _, (cds, cis) = jax.lax.scan(
-            data_body, (q16, q_sq), jnp.arange(nblocks, dtype=jnp.int32)
-        )
-        # [nblocks, B, kc] -> per-query merged candidate list
-        cd = cds.transpose(1, 0, 2).reshape(b, nblocks * kc)
-        ci = cis.transpose(1, 0, 2).reshape(b, nblocks * kc)
-        if nblocks > 1:
-            neg, sel = jax.lax.top_k(-cd, kc)
+        if use_pallas:
+            wd, wi = PS.fused_scan_candidates(
+                q16, x16, sp_masked, qsub=ps_qsub, interpret=ps_interp
+            )
+            kc_eff = min(kc, wd.shape[1])
+            neg, sel = jax.lax.approx_max_k(-wd, kc_eff, recall_target=0.95)
             cd = -neg
-            ci = jnp.take_along_axis(ci, sel, axis=1)
+            ci = jnp.take_along_axis(wi, sel, axis=1)
+            ci = jnp.where(cd >= PS.BIG * 0.5, -1, ci)
+        else:
+            _, (cds, cis) = jax.lax.scan(
+                data_body, (q16, q_sq), jnp.arange(nblocks, dtype=jnp.int32)
+            )
+            # [nblocks, B, kc] -> per-query merged candidate list
+            cd = cds.transpose(1, 0, 2).reshape(b, nblocks * kc)
+            ci = cis.transpose(1, 0, 2).reshape(b, nblocks * kc)
+            if nblocks > 1:
+                neg, sel = jax.lax.top_k(-cd, kc)
+                cd = -neg
+                ci = jnp.take_along_axis(ci, sel, axis=1)
         # exact f32 re-rank of the bf16 candidate set
         safe = jnp.clip(ci, 0, n - 1)
         rows = jnp.take(x, safe, axis=0).astype(_F32)
