@@ -121,6 +121,55 @@ def test_bulk_knn_pallas_with_removed_slots():
     assert ((pi < 100) | (pi >= 200)).all()
 
 
+def test_build_bulk_pallas_flake_falls_back_to_xla(tmp_path, monkeypatch):
+    """The axon runtime rarely flakes a Pallas dispatch with a bare
+    INVALID_ARGUMENT JaxRuntimeError that only surfaces at the post-scan
+    sync pull.  build_bulk must catch it BEFORE any graph state exists,
+    redo the whole scan on the XLA path, and end up with exactly the index
+    an XLA-only build produces."""
+    import ngt_tpu
+
+    rng = np.random.default_rng(33)
+    data = rng.standard_normal((4096, 128)).astype(np.float32)
+
+    monkeypatch.setenv("NGT_TPU_SCAN_IMPL", "xla")
+    ref = ngt_tpu.create(str(tmp_path / "ref"), dimension=128)
+    ref.batch_insert(data, build=True)
+
+    # the fresh-build sync pulls a 0-d int32 (all_i[0, 0]); flake exactly
+    # that first pull, pass everything else through untouched
+    monkeypatch.setenv("NGT_TPU_SCAN_IMPL", "pallas")
+    real_get = jax.device_get
+    state = {"armed": True}
+
+    def flaky_get(tree):
+        if (
+            state["armed"]
+            and isinstance(tree, jax.Array)
+            and tree.shape == ()
+            and tree.dtype == jnp.int32
+        ):
+            state["armed"] = False
+            raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: test flake")
+        return real_get(tree)
+
+    monkeypatch.setattr(jax, "device_get", flaky_get)
+    idx = ngt_tpu.create(str(tmp_path / "flaky"), dimension=128)
+    idx.batch_insert(data, build=True)
+    monkeypatch.setattr(jax, "device_get", real_get)
+
+    assert not state["armed"], "the injected flake never fired"
+    assert idx.verify() == []
+    n = ref.graph.node_count()
+    assert idx.graph.node_count() == n
+    np.testing.assert_array_equal(
+        idx.graph.nbr_ids[: n + 1], ref.graph.nbr_ids[: n + 1]
+    )
+    np.testing.assert_array_equal(
+        idx.graph.degree[: n + 1], ref.graph.degree[: n + 1]
+    )
+
+
 def test_build_bulk_end_to_end_with_pallas_scan(tmp_path, monkeypatch):
     """Full bulk build routed through the Pallas scan (interpret mode on
     CPU): the index must be structurally sound and searchable.  Window
