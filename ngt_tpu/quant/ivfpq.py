@@ -223,7 +223,11 @@ class IVFPQIndex:
     # ------------------------------------------------------------- sizing --
     @property
     def size(self) -> int:
-        return len(self._assign) + sum(len(a) for a in self._pending)
+        n = len(self._assign) + sum(len(a) for a in self._pending)
+        if self.raw_store == "mmap" and self._raw is not None:
+            # mmap spills pending straight to the raw file (see batch_insert)
+            n = max(n, self._raw.shape[0])
+        return n
 
     @property
     def built(self) -> bool:
@@ -273,7 +277,16 @@ class IVFPQIndex:
             raise ValueError(
                 f"dimension mismatch: got {x.shape[1]}, want {self.dimension}"
             )
-        self._pending.append(x)
+        if self.raw_store == "mmap":
+            # spill straight to the raw file: pending rows never accumulate
+            # in host RAM (at 100M x 128 f32 the old list held 51 GB and
+            # build()'s concatenate doubled it), and build()/flush stream
+            # the unencoded tail back in device-chunk slices
+            if self.raw_path is None:
+                raise ValueError("raw_store='mmap' needs raw_path")
+            self._append_raw(x)
+        else:
+            self._pending.append(x)
         if self.built:
             self._flush_pending()
 
@@ -323,13 +336,27 @@ class IVFPQIndex:
             out[s : s + step] = pack_codes4(codes) if self.packed else codes
         return out
 
+    def _unflushed(self):
+        """Rows inserted but not yet encoded.  For raw_store='mmap' this is
+        a memmap VIEW of the raw file's tail — the assign/encode loops
+        slice it chunk-wise, so it is never materialized whole."""
+        if self.raw_store == "mmap":
+            if self._raw is None:
+                return np.zeros((0, self.dimension), np.float32)
+            return self._raw[len(self._assign):]
+        if not self._pending:
+            return np.zeros((0, self.dimension), np.float32)
+        if len(self._pending) == 1:
+            return self._pending[0]
+        return np.concatenate(self._pending, axis=0)
+
     def _flush_pending(self) -> None:
         """Assign + encode every pending batch against the current
         codebooks and grow the inverted lists."""
-        if not self._pending:
+        x = self._unflushed()
+        if len(x) == 0:
+            self._pending = []
             return
-        x = np.concatenate(self._pending, axis=0)
-        self._pending = []
         assign = self._assign_to_centroids(x)
         codes = self._encode_assigned(x, assign)
         self._assign = np.concatenate([self._assign, assign])
@@ -337,7 +364,9 @@ class IVFPQIndex:
             codes if self._codes.size == 0
             else np.concatenate([self._codes, codes], axis=0)
         )
-        self._append_raw(x)
+        if self.raw_store != "mmap":
+            self._append_raw(np.asarray(x))
+        self._pending = []
         self._dev = None
 
     def _assign_to_centroids(self, x: np.ndarray) -> np.ndarray:
@@ -364,31 +393,36 @@ class IVFPQIndex:
         """Train global + local codebooks on (a sample of) the pending data,
         then encode everything (the batch path of NGTQ insert + codebook
         build, Quantizer.h:1846-1959)."""
-        if not self._pending and not self.built:
-            raise ValueError("nothing to build")
-        x = np.concatenate(self._pending, axis=0) if self._pending else None
-        if self.built and x is not None:
+        if self.built:
             self._flush_pending()
             return
-        self._pending = []
+        x = self._unflushed()
+        if len(x) == 0:
+            raise ValueError("nothing to build")
         rng = np.random.default_rng(seed)
         train = x
         if len(x) > self.train_sample:
-            train = x[rng.choice(len(x), self.train_sample, replace=False)]
+            # sorted sample indices: sequential-ish reads from a memmap
+            # source instead of 256k random 512 B seeks
+            train = x[np.sort(rng.choice(len(x), self.train_sample,
+                                         replace=False))]
         c = min(self.n_centroids, len(train))
         self.centroids, _ = kmeans(train, c, iters=kmeans_iters, seed=seed)
         assign = self._assign_to_centroids(x)
         if len(x) > self.train_sample:
-            pick = rng.choice(len(x), self.train_sample, replace=False)
+            pick = np.sort(rng.choice(len(x), self.train_sample,
+                                      replace=False))
             rs = x[pick] - self.centroids[assign[pick]]
         else:
-            rs = x - self.centroids[assign]
+            rs = np.asarray(x) - self.centroids[assign]
         self.pq.fit(rs, center=False)
         codes = self._encode_assigned(x, assign)
         self._assign = assign
         self._codes = codes
-        self._raw = None
-        self._append_raw(x)
+        if self.raw_store != "mmap":   # mmap: rows are already in the file
+            self._raw = None
+            self._append_raw(np.asarray(x))
+        self._pending = []
         self._trained_size = len(x)
         self._dev = None
 
@@ -399,12 +433,16 @@ class IVFPQIndex:
         self._flush_pending()
         if self._raw is None:
             raise ValueError("rebuild needs raw vectors (raw_store != 'none')")
-        x = np.asarray(self._raw, np.float32)
-        self._pending = [x]
+        if self.raw_store == "mmap":
+            # resetting _assign makes the WHOLE raw file the unflushed set;
+            # build() streams it in chunks — nothing moves to host RAM
+            self._pending = []
+        else:
+            self._pending = [np.asarray(self._raw, np.float32)]
+            self._raw = None
         self.centroids = None
         self._assign = np.zeros((0,), np.int32)
         self._codes = np.zeros((0, 0), np.uint8)
-        self._raw = None
         self.build(kmeans_iters=kmeans_iters, seed=seed)
 
     # -------------------------------------------------------------- device --

@@ -353,6 +353,52 @@ def test_ivfpq_persist(ivf_setup, tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_ivfpq_mmap_spill(ivf_setup, tmp_path):
+    """raw_store='mmap' spills pending inserts straight to the raw file
+    (no host-RAM accumulation: at 100M rows the old pending list held
+    51 GB), and build/rebuild stream it back in chunks.  Results must be
+    identical to the in-RAM raw_store='host' path."""
+    from ngt_tpu.quant.ivfpq import IVFPQIndex
+
+    ref, data, queries = ivf_setup
+    raw = os.path.join(tmp_path, "raw.f32")
+    ivf = IVFPQIndex(24, n_centroids=64, dsub=2, ksub=16,
+                     raw_store="mmap", raw_path=raw)
+    # multi-batch pre-build insert: rows land in the file, not in RAM
+    for s in range(0, len(data), 700):
+        ivf.batch_insert(data[s : s + 700])
+    assert ivf._pending == []
+    assert ivf.size == len(data)
+    assert os.path.getsize(raw) == data.nbytes
+    ivf.build()
+    assert ivf.verify() == []
+    # identical build inputs -> identical centroids/codes as the host path
+    np.testing.assert_array_equal(ivf.centroids, ref.centroids)
+    np.testing.assert_array_equal(ivf._codes, ref._codes)
+    a, _ = ref.batch_search(queries, size=10, nprobe=16, mode="refine")
+    b, _ = ivf.batch_search(queries, size=10, nprobe=16, mode="refine")
+    np.testing.assert_array_equal(a, b)
+    # post-build insert flushes through the file too
+    rng = np.random.default_rng(5)
+    extra = rng.normal(size=(64, 24)).astype(np.float32)
+    ivf.batch_insert(extra)
+    assert ivf._pending == [] and ivf.size == len(data) + 64
+    ids, _ = ivf.batch_search(extra[:8], size=1, nprobe=16)
+    assert (ids[:, 0] >= len(data)).mean() >= 0.9
+    # rebuild streams from the file (nothing re-materialized in RAM)
+    ivf.rebuild()
+    assert ivf.verify() == []
+    assert ivf.size == len(data) + 64
+    # persistence round-trip keeps the mmap wiring
+    p = os.path.join(tmp_path, "ivf_mmap")
+    ivf.save(p)
+    re = IVFPQIndex.open(p)
+    assert re.verify() == []
+    c, _ = ivf.batch_search(queries[:4], size=5, mode="refine")
+    d, _ = re.batch_search(queries[:4], size=5, mode="refine")
+    np.testing.assert_array_equal(c, d)
+
+
 def test_ivfpq_dimension_check():
     from ngt_tpu.quant.ivfpq import IVFPQIndex
 
