@@ -441,6 +441,9 @@ def cmd_ngtq_create(args):
             if args.raw_store == "mmap" else None
         ),
     )
+    # the raw mmap file lives inside the index dir and batch_insert spills
+    # to it immediately — the dir must exist before the first insert
+    os.makedirs(args.index, exist_ok=True)
     if args.data:
         t0 = time.time()
         data = _load_tsv(args.data, args.dimension)
@@ -448,7 +451,6 @@ def cmd_ngtq_create(args):
               file=sys.stderr)
         t0 = time.time()
         ivf.batch_insert(data)
-        os.makedirs(args.index, exist_ok=True)
         ivf.build()
         print(f"Index creation time={time.time() - t0:.6f} (sec)",
               file=sys.stderr)

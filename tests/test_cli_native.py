@@ -229,3 +229,14 @@ def test_cli_ngtq_family(cli_index, capsys, tmp_path):
     rc = cli_main(["ngtq-search", "-n", "3", "-m", "e", ipath, qpath])
     out = capsys.readouterr().out
     assert rc == 0 and "Query No.1" in out
+    # mmap raw store: the raw file is created inside the index dir at
+    # insert time (spill path), before build
+    mpath = os.path.join(root, "nq_mmap")
+    rc = cli_main(["ngtq-create", "-d", "16", "-C", "32",
+                   "--raw-store", "mmap", mpath, dpath])
+    assert rc == 0
+    assert os.path.getsize(os.path.join(mpath, "raw.f32")) == data.nbytes
+    capsys.readouterr()
+    rc = cli_main(["ngtq-search", "-n", "5", "-p", "8", mpath, qpath])
+    out = capsys.readouterr().out
+    assert rc == 0 and "Query No.1" in out
