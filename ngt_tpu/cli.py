@@ -454,7 +454,6 @@ def cmd_ngtq_create(args):
         ivf.build()
         print(f"Index creation time={time.time() - t0:.6f} (sec)",
               file=sys.stderr)
-    os.makedirs(args.index, exist_ok=True)
     ivf.save(args.index)
     return 0
 

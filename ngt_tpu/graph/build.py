@@ -451,8 +451,7 @@ def _cc_cross_pairs(nbr, l0, B):
     return a, b
 
 
-def _cc_labels_bulk(dev_chunks, pending, cap, nbr_dev, valid_dev, has_host,
-                    narrow_dev=None):
+def _cc_labels_bulk(pending, cap, nbr_dev, valid_dev, has_host, narrow_dev):
     """Exact CC labels for the fresh bulk build, computed host-side in ONE
     shot instead of iterating on the device.
 
@@ -482,15 +481,11 @@ def _cc_labels_bulk(dev_chunks, pending, cap, nbr_dev, valid_dev, has_host,
 
     prof = os.environ.get("NGT_TPU_BUILD_PROFILE", "") == "1"
     t0 = _t.time()
-    w = 9  # 8 nearest + the self column the scan keeps
-    if narrow_dev is not None:
-        # pre-enqueued single slice program (one dispatch + one transfer;
-        # per-chunk slices cost 8 dispatches of 0.3-1 s each over the
-        # tunnel — measured dl 4-25 s depending on service load)
-        host_i = np.asarray(jax.device_get(narrow_dev))
-    else:
-        parts = jax.device_get([c[0][:, :w] for c in dev_chunks])
-        host_i = parts[0] if len(parts) == 1 else np.concatenate(parts)
+    # narrow_dev: the pre-enqueued single slice program of the first ~9
+    # scan-id columns (one dispatch + one transfer; per-chunk slices cost
+    # 8 dispatches of 0.3-1 s each over the tunnel — measured dl 4-25 s
+    # depending on service load)
+    host_i = np.asarray(jax.device_get(narrow_dev))
     narrow = np.full((cap, host_i.shape[1]), -1, np.int32)
     narrow[pending] = host_i
     t1 = _t.time()
@@ -875,7 +870,15 @@ def build_bulk(
     if fast:
         scan_impl = os.environ.get("NGT_TPU_SCAN_IMPL", "")
         if not scan_impl:
-            scan_impl = "pallas" if x_fast.shape[0] >= (1 << 19) else "xla"
+            # auto-route needs the COMPILED kernel: on any other backend
+            # fast_knn_l2_bulk falls back to interpret mode, which at
+            # >=512k rows is orders of magnitude slower than the XLA scan
+            scan_impl = (
+                "pallas"
+                if x_fast.shape[0] >= (1 << 19)
+                and jax.default_backend() == "tpu"
+                else "xla"
+            )
 
     def _scan_chunk(chunk, impl):
         bpad = (
@@ -1005,8 +1008,8 @@ def build_bulk(
             # fresh build: graph membership == store validity, so the
             # device valid mask stands in for has_node (not host-set yet)
             first_labels = _cc_labels_bulk(
-                dev_chunks, pending, cap, nbr_dev, valid,
-                store._valid[:cap], narrow_dev=narrow_dev,
+                pending, cap, nbr_dev, valid,
+                store._valid[:cap], narrow_dev,
             )
         mark("cc")
         graph._has_node[:] = False

@@ -277,6 +277,8 @@ class IVFPQIndex:
             raise ValueError(
                 f"dimension mismatch: got {x.shape[1]}, want {self.dimension}"
             )
+        if len(x) == 0:
+            return  # np.memmap cannot map an empty file; no-op like host
         if self.raw_store == "mmap":
             # spill straight to the raw file: pending rows never accumulate
             # in host RAM (at 100M x 128 f32 the old list held 51 GB and

@@ -1,7 +1,8 @@
 """Parity tests for the fused Pallas bulk-scan kernel (ops/pallas_scan.py).
 
 Run in interpret mode on the CPU backend; the compiled path is exercised on
-real TPU by the build benchmark (NGT_TPU_SCAN_PALLAS).
+real TPU by the build benchmark (NGT_TPU_SCAN_IMPL=pallas forces it; the
+auto-route engages at n >= 512k on the TPU backend only).
 """
 
 import jax
