@@ -32,6 +32,8 @@ Instrumentation mirrors the reference's ``visitCount`` /
 from __future__ import annotations
 
 import functools
+
+import numpy as np
 from typing import NamedTuple
 
 import jax
@@ -43,7 +45,10 @@ from ngt_tpu.properties import DistanceType
 _F32 = jnp.float32
 _I32 = jnp.int32
 _U32 = jnp.uint32
-INF = jnp.float32(jnp.inf)
+# np, NOT jnp: a module-level jnp scalar commits a device buffer at import,
+# which initializes the XLA backend and breaks jax.distributed.initialize
+# for multi-host programs that import ngt_tpu first
+INF = np.float32(np.inf)
 
 #: default exploration coefficient = 1 + ε with ε=0.1
 #: (reference NGT_EXPLORATION_COEFFICIENT, defines.h.in:52 via Common.h)

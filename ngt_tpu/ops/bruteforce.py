@@ -18,7 +18,9 @@ from ngt_tpu.ops import distances as D
 from ngt_tpu.properties import DistanceType
 
 _F32 = jnp.float32
-INF = jnp.float32(jnp.inf)
+# np, NOT jnp: a module-level jnp scalar commits a device buffer at import,
+# which initializes the XLA backend and breaks jax.distributed.initialize
+INF = np.float32(np.inf)
 
 
 def pad_dim(d: int, multiple: int = 128) -> int:

@@ -44,9 +44,16 @@ def initialize(
 
     Resolution order: explicit args > JAX_COORDINATOR_ADDRESS /
     JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars > single-process no-op.
-    Returns True when a multi-process runtime is (already) active."""
-    if jax.process_count() > 1:
-        return True
+    Returns True when a multi-process runtime is (already) active.
+
+    NOTE: probing via ``jax.process_count()`` would itself initialize the
+    XLA backend, after which ``jax.distributed.initialize`` refuses to run
+    — so the already-initialized check reads the distributed client state
+    directly."""
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return jax.process_count() > 1
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr is None:
         return False  # single-process run; nothing to do
