@@ -87,6 +87,30 @@ class ShardedGraphIndex:
             np.ascontiguousarray(seeds), NamedSharding(mesh, P(AXIS, None))
         )
 
+    @classmethod
+    def from_arrays(
+        cls,
+        mesh: Mesh,
+        x: jax.Array,              # [P*n_local, D_pad] sharded P(AXIS, None)
+        nbr: jax.Array,            # [P*n_local, E]
+        valid: jax.Array,          # [P*n_local] sharded P(AXIS)
+        seed_ids_local: jax.Array,  # [P, S] sharded P(AXIS, None)
+        metric: DistanceType,
+        n_local: int,
+        nbr_dist: jax.Array | None = None,
+    ) -> "ShardedGraphIndex":
+        """Wrap PRE-SHARDED global arrays (multi-process loading builds them
+        per-host with multihost.local_shard_array — no process ever holds
+        the whole index, so the host-array __init__ path cannot be used)."""
+        self = cls.__new__(cls)
+        self.mesh = mesh
+        self.metric = DistanceType(metric)
+        self.n_local = int(n_local)
+        self.x, self.nbr, self.valid = x, nbr, valid
+        self.nbr_dist = nbr_dist
+        self.seed_ids_local = seed_ids_local
+        return self
+
     def search(self, queries: jax.Array, k: int = 10, epsilon: float = 0.1,
                width: int = 64) -> tuple[jax.Array, jax.Array]:
         fn = _sharded_search(
@@ -411,6 +435,74 @@ class ShardedIndex:
             id_map=self.id_map,
         )
 
+    def save_distributed(self, path: str) -> None:
+        """Persist as ONE FILE PER SHARD + a small meta file, so each
+        process of a multi-host deployment loads only the shards it owns
+        (open_distributed) — the corpus never materializes on one host.
+        `save()` keeps the single-file layout for single-process use."""
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        s = self._sharded
+        p = s.mesh.devices.size
+        unflat = lambda a: np.asarray(a).reshape(p, s.n_local, *a.shape[1:])
+        x, nbr, valid = unflat(s.x), unflat(s.nbr), unflat(s.valid)
+        nbrd = None if s.nbr_dist is None else unflat(s.nbr_dist)
+        for i in range(p):
+            np.savez(
+                os.path.join(path, f"shard_{i:05d}.npz"),
+                x=x[i], nbr=nbr[i], valid=valid[i],
+                nbr_dist=(
+                    np.zeros((0,), np.float32) if nbrd is None else nbrd[i]
+                ),
+            )
+        np.savez(
+            os.path.join(path, "meta.npz"),
+            p=p, n_local=s.n_local,
+            seed_ids_local=np.asarray(s.seed_ids_local),
+            metric=int(s.metric), id_map=self.id_map,
+        )
+
+    @classmethod
+    def open_distributed(
+        cls, path: str, mesh: Mesh | None = None
+    ) -> "ShardedIndex":
+        """Open a save_distributed() layout; under a multi-process mesh
+        each process reads ONLY its own shard files and the global arrays
+        are assembled from per-host buffers (multihost.local_shard_array).
+        Works identically single-process (one process owns every shard)."""
+        import os
+
+        from ngt_tpu.parallel import multihost as MH
+
+        meta = np.load(os.path.join(path, "meta.npz"))
+        p, n_local = int(meta["p"]), int(meta["n_local"])
+        mesh = mesh or make_mesh(p)
+        if mesh.devices.size != p:
+            raise ValueError(
+                f"index has {p} shards; mesh has {mesh.devices.size} devices"
+            )
+        mine = MH.process_shard_slices(mesh).get(jax.process_index(), [])
+        parts = [
+            np.load(os.path.join(path, f"shard_{i:05d}.npz")) for i in mine
+        ]
+        stack = lambda k: np.stack([np.asarray(s[k]) for s in parts])
+        x = stack("x")
+        glob = lambda a: MH.local_shard_array(
+            mesh, (p * n_local, *a.shape[2:]), a
+        )
+        has_d = parts[0]["nbr_dist"].size if parts else 0
+        seeds = np.asarray(meta["seed_ids_local"])
+        seeds_local = seeds[mine][:, None]  # [n_mine, 1, S] rows of [P, S]
+        sharded = ShardedGraphIndex.from_arrays(
+            mesh,
+            glob(x), glob(stack("nbr")), glob(stack("valid")),
+            MH.local_shard_array(mesh, (p, seeds.shape[1]), seeds_local),
+            DistanceType(int(meta["metric"])), n_local,
+            nbr_dist=glob(stack("nbr_dist")) if has_d else None,
+        )
+        return cls(mesh, sharded, meta["id_map"])
+
     @classmethod
     def open(cls, path: str, mesh: Mesh | None = None) -> "ShardedIndex":
         import os
@@ -441,8 +533,12 @@ class ShardedIndex:
             qq = np.zeros((len(q), d_pad), np.float32)
             qq[:, : q.shape[1]] = q
             q = qq
+        # explicit replication over THIS mesh: under a multi-process mesh a
+        # plain jnp.asarray lands on the default local device and the
+        # global-mesh jit rejects it
+        qd = jax.device_put(q, NamedSharding(self.mesh, P()))
         ids, dists = self._sharded.search(
-            jnp.asarray(q), k=size, epsilon=epsilon, width=width
+            qd, k=size, epsilon=epsilon, width=width
         )
         ids = np.asarray(ids)
         dists = np.asarray(dists)

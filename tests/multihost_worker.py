@@ -6,6 +6,12 @@ host-major global mesh: every process holds ONLY its own corpus shards
 (parallel.multihost.local_shard_array), the merge is one all_gather.
 
 Run:  python multihost_worker.py <coordinator> <num_procs> <process_id>
+      [index_path expected_path]
+
+With the optional args, instead of the inline top-k program the worker
+opens a ShardedIndex.save_distributed layout (loading ONLY its own shard
+files), searches it over the global mesh, and asserts bit-identical
+results to the single-process expectation recorded in expected_path.
 """
 import os
 import sys
@@ -32,6 +38,10 @@ def main() -> None:
     assert ok, "distributed runtime did not come up"
     assert jax.process_count() == nproc, jax.process_count()
     mesh = MH.make_global_mesh()
+
+    if len(sys.argv) > 5:
+        _distributed_index(mesh, nproc, pid, sys.argv[4], sys.argv[5])
+        return
     n_shards = mesh.devices.size
     assert n_shards == 4 * nproc
 
@@ -88,6 +98,21 @@ def main() -> None:
         got[0], gt[0]
     )
     print(f"MULTIHOST_OK pid={pid} procs={jax.process_count()} "
+          f"devices={len(jax.devices())}")
+
+
+def _distributed_index(mesh, nproc, pid, index_path, expected_path) -> None:
+    """open_distributed + search, asserted against the single-process run."""
+    from ngt_tpu.parallel.sharding import ShardedIndex
+
+    sidx = ShardedIndex.open_distributed(index_path, mesh=mesh)
+    exp = np.load(expected_path)
+    ids, dists = sidx.batch_search(
+        exp["queries"], size=int(exp["size"]), epsilon=float(exp["epsilon"])
+    )
+    assert (ids == exp["ids"]).all(), (ids[:2], exp["ids"][:2])
+    np.testing.assert_allclose(dists, exp["dists"], rtol=1e-5)
+    print(f"MULTIHOST_INDEX_OK pid={pid} procs={jax.process_count()} "
           f"devices={len(jax.devices())}")
 
 

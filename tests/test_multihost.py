@@ -24,14 +24,14 @@ def _free_port() -> int:
     return p
 
 
-def test_two_process_distributed_search():
+def _run_workers(extra=()):
     env = dict(os.environ)
     # the workers pin their own backend (cpu x4 + gloo collectives)
     env.pop("XLA_FLAGS", None)
     coord = f"localhost:{_free_port()}"
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, coord, "2", str(pid)],
+            [sys.executable, WORKER, coord, "2", str(pid), *extra],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env,
         )
         for pid in (0, 1)
@@ -42,4 +42,36 @@ def test_two_process_distributed_search():
         outs.append(out.decode())
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-2000:]}"
+    return outs
+
+
+def test_two_process_distributed_search():
+    outs = _run_workers()
+    for pid, out in enumerate(outs):
         assert f"MULTIHOST_OK pid={pid} procs=2 devices=8" in out, out[-500:]
+
+
+def test_two_process_distributed_index_open(tmp_path):
+    """Build + save_distributed in THIS process (8-device single-process
+    mesh), then two worker processes each load only their own 4 shard
+    files and must reproduce the single-process search bit-exactly."""
+    import numpy as np
+    from ngt_tpu.parallel.sharding import ShardedIndex, make_mesh
+    from ngt_tpu.properties import DistanceType
+
+    rng = np.random.default_rng(29)
+    data = rng.normal(size=(800, 16)).astype(np.float32)
+    queries = rng.normal(size=(8, 16)).astype(np.float32)
+    sidx = ShardedIndex.build(data, mesh=make_mesh(8),
+                              metric=DistanceType.L2)
+    ids, dists = sidx.batch_search(queries, size=5, epsilon=0.15)
+    ipath = str(tmp_path / "dist_idx")
+    sidx.save_distributed(ipath)
+    epath = str(tmp_path / "expected.npz")
+    np.savez(epath, queries=queries, ids=ids, dists=dists,
+             size=5, epsilon=0.15)
+    outs = _run_workers((ipath, epath))
+    for pid, out in enumerate(outs):
+        assert f"MULTIHOST_INDEX_OK pid={pid} procs=2 devices=8" in out, (
+            out[-500:]
+        )

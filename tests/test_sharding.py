@@ -1,5 +1,7 @@
 """Multi-device index tests on the 8-device virtual CPU mesh."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -228,6 +230,28 @@ def test_sharded_index_save_open(tmp_path):
     path = str(tmp_path / "sharded_idx")
     sidx.save(path)
     re = ShardedIndex.open(path)
+    ids2, dists2 = re.batch_search(queries, size=5, epsilon=0.15)
+    np.testing.assert_array_equal(ids, ids2)
+    np.testing.assert_allclose(dists, dists2, rtol=1e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_index_distributed_layout_roundtrip(tmp_path):
+    """save_distributed writes one file per shard + meta; open_distributed
+    reloads per-process (here one process owning all 8 shards) and must
+    return bit-identical search results to the monolithic layout."""
+    from ngt_tpu.parallel.sharding import ShardedIndex
+
+    rng = np.random.default_rng(23)
+    data = rng.normal(size=(800, 16)).astype(np.float32)
+    queries = rng.normal(size=(8, 16)).astype(np.float32)
+    mesh = make_mesh(8)
+    sidx = ShardedIndex.build(data, mesh=mesh, metric=DistanceType.L2)
+    ids, dists = sidx.batch_search(queries, size=5, epsilon=0.15)
+    path = str(tmp_path / "dist_idx")
+    sidx.save_distributed(path)
+    assert len([f for f in os.listdir(path) if f.startswith("shard_")]) == 8
+    re = ShardedIndex.open_distributed(path)
     ids2, dists2 = re.batch_search(queries, size=5, epsilon=0.15)
     np.testing.assert_array_equal(ids, ids2)
     np.testing.assert_allclose(dists, dists2, rtol=1e-6)
