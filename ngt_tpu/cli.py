@@ -370,6 +370,14 @@ def cmd_info(args):
             print(f"Error: {e}")
         print("The index is valid." if not errs else "The index is invalid.")
         return 0 if not errs else 1
+    if args.mode == "c":  # checkGraph: re-derive edges by exact search
+        rep = idx.check_graph()
+        print(
+            f"checked={rep['checked']} mean_overlap={rep['mean_overlap']:.4f}"
+            f" min_overlap={rep['min_overlap']:.4f}"
+            f" divergent={rep['divergent']}"
+        )
+        return 0
     n = idx.store.repository_size
     deg = idx.graph.degree[:n][idx.graph._has_node[:n]]
     print(f"# of objects={len(idx)}")
@@ -655,7 +663,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     inf = sub.add_parser("info")
     inf.add_argument("-m", "--mode", default="-",
-                     help="v=verify, e=degree histogram")
+                     help="v=verify, e=degree histogram, c=check-graph "
+                          "(re-derive edges by exact search, Index.h:886)")
     inf.add_argument("index")
     inf.set_defaults(fn=cmd_info)
 

@@ -543,6 +543,57 @@ class Index:
         errs.extend(self.seeder.verify(live, self.store._x[:n]))
         return errs
 
+    def check_graph(self, sample: int = 1024, seed: int = 0) -> dict:
+        """Re-derive sampled nodes' edges by EXACT search and compare with
+        the stored adjacency — the reference's checkGraph diagnostic
+        (GraphIndex, Index.h:886-938: re-searches every node and prints
+        edges that diverge).  The TPU form is batched: one exact device
+        top-k over the sampled rows.
+
+        Returns {'checked', 'mean_overlap', 'min_overlap', 'divergent'}
+        where overlap is the fraction of a node's stored edges found in
+        its re-derived exact top-(degree) neighbor list, and 'divergent'
+        counts nodes with overlap < 1.  ANNG rows hold approximate edges
+        plus reverse insertions, so overlap < 1 is normal there; the
+        fresh bulk-built graph holds exact rows (overlap 1 for the k-NN
+        prefix is the healthy signature)."""
+        n = self.store.repository_size
+        live = np.nonzero(self.store._valid[:n] & self.graph._has_node[:n])[0]
+        if len(live) == 0:
+            return {"checked": 0, "mean_overlap": 1.0, "min_overlap": 1.0,
+                    "divergent": 0}
+        rng = np.random.default_rng(seed)
+        pick = (
+            live if len(live) <= sample
+            else np.sort(rng.choice(live, sample, replace=False))
+        )
+        deg = self.graph.degree[pick].astype(np.int64)
+        kmax = int(max(deg.max(), 1))
+        x, valid, sqn = self.store.device_arrays()
+        q = jnp.asarray(self.store._x[pick])
+        # k+1: the exact list contains the node itself at distance 0
+        ids, _ = BF.linear_search(
+            q, x, valid, self.store.metric, kmax + 1, x_sqnorm=sqn
+        )
+        ids = np.asarray(ids)
+        ids = np.where(ids == pick[:, None], -1, ids)  # drop self-hit
+        stored = self.graph.nbr_ids[pick]
+        overlaps = np.empty(len(pick), np.float64)
+        for i in range(len(pick)):
+            d = int(deg[i])
+            if d == 0:
+                overlaps[i] = 1.0
+                continue
+            exact = set(ids[i][ids[i] >= 0][:d].tolist())
+            row = stored[i, :d]
+            overlaps[i] = sum(1 for e in row if int(e) in exact) / d
+        return {
+            "checked": int(len(pick)),
+            "mean_overlap": float(overlaps.mean()),
+            "min_overlap": float(overlaps.min()),
+            "divergent": int((overlaps < 1.0).sum()),
+        }
+
     def statistics(self) -> dict:
         """Graph statistics (the analogue of showStatisticsOfGraph,
         reference Index.cpp:800-1154): degree histograms, edge-length stats,

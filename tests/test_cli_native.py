@@ -135,6 +135,9 @@ def test_cli_info_and_verify(cli_index, capsys):
     rc = cli_main(["info", "-m", "v", ipath])
     out = capsys.readouterr().out
     assert rc == 0 and "The index is valid." in out
+    rc = cli_main(["info", "-m", "c", ipath])  # checkGraph diagnostic
+    out = capsys.readouterr().out
+    assert rc == 0 and "checked=400" in out and "mean_overlap=" in out
 
 
 def test_cli_reconstruct_and_quantize(cli_index, capsys):

@@ -521,3 +521,31 @@ def test_truncation_relink_incremental(rng):
     ids, _ = idx.batch_search(q, size=1, epsilon=0.1)
     found = (np.asarray(ids)[:, 0] == np.arange(0, 900, 30)).mean()
     assert found >= 0.9
+
+
+def test_check_graph_rederives_edges(rng):
+    """check_graph (reference checkGraph, Index.h:886-938): the fresh
+    bulk-built graph stores exact k-NN prefixes, so sampled overlap with
+    the re-derived exact neighbor list is high; corrupting a row is
+    detected as divergence."""
+    data = rng.normal(size=(1500, 24)).astype(np.float32)
+    idx = _build(data)
+    rep = idx.check_graph(sample=256, seed=3)
+    assert rep["checked"] == 256
+    # rows hold the exact top-k PLUS reverse-edge insertions; reverse edges
+    # need not rank in the exact top-(degree), so healthy overlap sits well
+    # below 1.0 but far above a corrupted row's
+    assert rep["mean_overlap"] >= 0.7, rep
+    assert rep["min_overlap"] >= 0.4, rep
+    # corrupt one sampled node's edges -> divergence grows
+    victim = 7
+    nbr = idx.graph.nbr_ids
+    d = int(idx.graph.degree[victim])
+    assert d >= 4
+    # point every edge at the node's FARTHEST rows (membership change is
+    # what check_graph detects; rank shuffles keep the same edge set)
+    far = np.argsort(((data - data[victim - 1]) ** 2).sum(1))[-d:]
+    nbr[victim, :d] = far + 1
+    rep2 = idx.check_graph(sample=1500, seed=3)
+    assert rep2["min_overlap"] <= 0.25, rep2
+    assert rep2["divergent"] >= 1
