@@ -292,9 +292,21 @@ class QuantizedGraphIndex:
             qh = np.asarray(queries, dtype=np.float32)
             if qh.ndim == 1:
                 qh = qh[None, :]
-            return self._batch_search_fused(
-                qh, size, k_exp, epsilon, edge_size, width, expand
-            )
+            try:
+                return self._batch_search_fused(
+                    qh, size, k_exp, epsilon, edge_size, width, expand
+                )
+            except jax.errors.JaxRuntimeError:
+                # same rare axon-runtime dispatch flake the build path
+                # handles (graph/build.py): nothing is applied until the
+                # final device_get, so redoing the batch on the eager
+                # (unfused) path below is safe and parity-tested
+                from ngt_tpu.utils import logger
+
+                logger.warning(
+                    "fused sq8 search dispatch failed; redoing the batch "
+                    "on the eager path"
+                )
 
         q = idx.store.prepare_queries(np.asarray(queries, dtype=np.float32))
         b0 = q.shape[0]

@@ -2,6 +2,7 @@
 
 import os
 
+import jax
 import numpy as np
 import pytest
 
@@ -196,6 +197,31 @@ def test_sq8_fused_matches_eager(rng, monkeypatch):
     ids_e, d_e = idx.batch_search(queries, size=10, epsilon=0.1)
     np.testing.assert_allclose(np.asarray(d_f), np.asarray(d_e), rtol=1e-5)
     assert (np.asarray(ids_f) == np.asarray(ids_e)).mean() > 0.99  # ties only
+
+
+def test_sq8_fused_flake_falls_back_to_eager(rng, monkeypatch):
+    """A JaxRuntimeError from the fused dispatch (the rare axon runtime
+    flake) must not fail the search: batch_search redoes the batch on the
+    eager path and returns its results."""
+    from ngt_tpu.quant import qgraph as QG
+
+    data = rng.normal(size=(1500, 24)).astype(np.float32)
+    queries = rng.normal(size=(32, 24)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=24, search_mode="qg")
+    idx.batch_insert(data, build=True)
+    ids_f, d_f = idx.batch_search(queries, size=10, epsilon=0.1)
+
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise jax.errors.JaxRuntimeError("INVALID_ARGUMENT: test flake")
+
+    monkeypatch.setattr(QG, "_sq8_fused_search", boom)
+    ids_e, d_e = idx.batch_search(queries, size=10, epsilon=0.1)
+    assert calls["n"] == 1
+    np.testing.assert_allclose(np.asarray(d_e), np.asarray(d_f), rtol=1e-5)
+    assert (np.asarray(ids_e) == np.asarray(ids_f)).mean() > 0.99
 
 
 def test_sq8_fused_chunked_matches_unchunked(rng, monkeypatch):
