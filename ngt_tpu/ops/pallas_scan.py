@@ -45,10 +45,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-BIG = jnp.float32(1e30)
+# np, NOT jnp: a module-level jnp scalar commits a device buffer at import,
+# which initializes the XLA backend and breaks jax.distributed.initialize
+BIG = np.float32(1e30)
 
 
 def _kernel(q_ref, x_ref, ss_ref, od_ref, oi_ref, *, window: int):

@@ -48,11 +48,8 @@ def initialize(
 
     NOTE: probing via ``jax.process_count()`` would itself initialize the
     XLA backend, after which ``jax.distributed.initialize`` refuses to run
-    — so the already-initialized check reads the distributed client state
-    directly."""
-    from jax._src import distributed as _dist
-
-    if getattr(_dist.global_state, "client", None) is not None:
+    — ``jax.distributed.is_initialized()`` checks without touching it."""
+    if jax.distributed.is_initialized():
         return jax.process_count() > 1
     addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     if addr is None:

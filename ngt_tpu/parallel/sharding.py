@@ -445,23 +445,41 @@ class ShardedIndex:
         os.makedirs(path, exist_ok=True)
         s = self._sharded
         p = s.mesh.devices.size
-        unflat = lambda a: np.asarray(a).reshape(p, s.n_local, *a.shape[1:])
-        x, nbr, valid = unflat(s.x), unflat(s.nbr), unflat(s.valid)
-        nbrd = None if s.nbr_dist is None else unflat(s.nbr_dist)
-        for i in range(p):
+        n_local = s.n_local
+
+        def per_shard(arr, rows_per_shard):
+            """shard id -> host copy of that shard, ADDRESSABLE shards only
+            (a true multi-host save must not fetch remote rows — np.asarray
+            on the global array would raise on non-addressable devices)."""
+            out = {}
+            for sh in arr.addressable_shards:
+                start = sh.index[0].start or 0
+                out[start // rows_per_shard] = np.asarray(sh.data)
+            return out
+
+        xs = per_shard(s.x, n_local)
+        nbrs = per_shard(s.nbr, n_local)
+        valids = per_shard(s.valid, n_local)
+        nbrds = None if s.nbr_dist is None else per_shard(s.nbr_dist, n_local)
+        seedss = per_shard(s.seed_ids_local, 1)
+        for i in xs:
             np.savez(
                 os.path.join(path, f"shard_{i:05d}.npz"),
-                x=x[i], nbr=nbr[i], valid=valid[i],
+                x=xs[i], nbr=nbrs[i], valid=valids[i],
+                seeds=seedss[i].reshape(-1),
                 nbr_dist=(
-                    np.zeros((0,), np.float32) if nbrd is None else nbrd[i]
+                    np.zeros((0,), np.float32) if nbrds is None else nbrds[i]
                 ),
             )
-        np.savez(
-            os.path.join(path, "meta.npz"),
-            p=p, n_local=s.n_local,
-            seed_ids_local=np.asarray(s.seed_ids_local),
-            metric=int(s.metric), id_map=self.id_map,
-        )
+        if jax.process_index() == 0:
+            np.savez(
+                os.path.join(path, "meta.npz"),
+                p=p, n_local=n_local,
+                d_pad=s.x.shape[1], e=s.nbr.shape[1],
+                s_max=s.seed_ids_local.shape[1],
+                has_nbr_dist=s.nbr_dist is not None,
+                metric=int(s.metric), id_map=self.id_map,
+            )
 
     @classmethod
     def open_distributed(
@@ -482,24 +500,35 @@ class ShardedIndex:
             raise ValueError(
                 f"index has {p} shards; mesh has {mesh.devices.size} devices"
             )
+        d_pad, e = int(meta["d_pad"]), int(meta["e"])
+        s_max, has_d = int(meta["s_max"]), bool(meta["has_nbr_dist"])
         mine = MH.process_shard_slices(mesh).get(jax.process_index(), [])
         parts = [
             np.load(os.path.join(path, f"shard_{i:05d}.npz")) for i in mine
         ]
-        stack = lambda k: np.stack([np.asarray(s[k]) for s in parts])
-        x = stack("x")
+
+        def stack(key, shape, dtype):
+            # a process owning zero mesh devices still participates with
+            # empty buffers (meta supplies the shapes np.stack cannot infer)
+            if not parts:
+                return np.zeros((0, *shape), dtype)
+            return np.stack([np.asarray(s[key]) for s in parts])
+
         glob = lambda a: MH.local_shard_array(
             mesh, (p * n_local, *a.shape[2:]), a
         )
-        has_d = parts[0]["nbr_dist"].size if parts else 0
-        seeds = np.asarray(meta["seed_ids_local"])
-        seeds_local = seeds[mine][:, None]  # [n_mine, 1, S] rows of [P, S]
+        seeds_local = stack("seeds", (s_max,), np.int32)[:, None]
         sharded = ShardedGraphIndex.from_arrays(
             mesh,
-            glob(x), glob(stack("nbr")), glob(stack("valid")),
-            MH.local_shard_array(mesh, (p, seeds.shape[1]), seeds_local),
+            glob(stack("x", (n_local, d_pad), np.float32)),
+            glob(stack("nbr", (n_local, e), np.int32)),
+            glob(stack("valid", (n_local,), bool)),
+            MH.local_shard_array(mesh, (p, s_max), seeds_local),
             DistanceType(int(meta["metric"])), n_local,
-            nbr_dist=glob(stack("nbr_dist")) if has_d else None,
+            nbr_dist=(
+                glob(stack("nbr_dist", (n_local, e), np.float32))
+                if has_d else None
+            ),
         )
         return cls(mesh, sharded, meta["id_map"])
 

@@ -296,11 +296,13 @@ class QuantizedGraphIndex:
                 return self._batch_search_fused(
                     qh, size, k_exp, epsilon, edge_size, width, expand
                 )
-            except jax.errors.JaxRuntimeError:
+            except jax.errors.JaxRuntimeError as exc:
                 # same rare axon-runtime dispatch flake the build path
-                # handles (graph/build.py): nothing is applied until the
-                # final device_get, so redoing the batch on the eager
-                # (unfused) path below is safe and parity-tested
+                # handles (graph/build.py): a bare INVALID_ARGUMENT.
+                # Anything else (RESOURCE_EXHAUSTED, real shape bugs) must
+                # surface — the eager redo would mask it on every batch.
+                if "INVALID_ARGUMENT" not in str(exc):
+                    raise
                 from ngt_tpu.utils import logger
 
                 logger.warning(

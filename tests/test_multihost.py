@@ -37,9 +37,14 @@ def _run_workers(extra=()):
         for pid in (0, 1)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=240)
-        outs.append(out.decode())
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=240)
+            outs.append(out.decode())
+    finally:
+        for p in procs:  # a hung rendezvous must not leak workers
+            if p.poll() is None:
+                p.kill()
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-2000:]}"
     return outs
