@@ -542,6 +542,33 @@ def cmd_ngtq_rebuild(args):
     return 0
 
 
+def cmd_ngtq_remove(args):
+    """Tombstone objects by 1-based id (ngtq remove, NGTQCommand.h:430-496)."""
+    from ngt_tpu.quant.ivfpq import IVFPQIndex
+
+    ivf = IVFPQIndex.open(args.index)
+    ids = [int(v) - 1 for v in args.ids]
+    n = ivf.remove(ids, force=args.force)
+    for v in args.ids:
+        print(f"removed ID={v}", file=sys.stderr)
+    print(f"removed\t{n}")
+    ivf.save(args.index)
+    return 0
+
+
+def cmd_ngtq_compress(args):
+    """Reclaim tombstoned records (NGTQ::Index::compress, Quantizer.h:2747)."""
+    from ngt_tpu.quant.ivfpq import IVFPQIndex
+
+    ivf = IVFPQIndex.open(args.index)
+    t0 = time.time()
+    n = ivf.compress()
+    print(f"Compress time={time.time() - t0:.6f} (sec)", file=sys.stderr)
+    print(f"reclaimed\t{n}")
+    ivf.save(args.index)
+    return 0
+
+
 # ------------------------------------------------------------- dispatch ----
 
 
@@ -728,6 +755,19 @@ def build_parser() -> argparse.ArgumentParser:
                          help="retrain codebooks + re-encode (at capacity)")
     nqr.add_argument("index")
     nqr.set_defaults(fn=cmd_ngtq_rebuild)
+
+    nqd = sub.add_parser("ngtq-remove",
+                         help="tombstone objects by 1-based id")
+    nqd.add_argument("-f", "--force", action="store_true",
+                     help="ignore unknown/already-removed ids")
+    nqd.add_argument("index")
+    nqd.add_argument("ids", nargs="+")
+    nqd.set_defaults(fn=cmd_ngtq_remove)
+
+    nqz = sub.add_parser("ngtq-compress",
+                         help="reclaim tombstoned records")
+    nqz.add_argument("index")
+    nqz.set_defaults(fn=cmd_ngtq_compress)
 
     return p
 

@@ -63,7 +63,11 @@ class ShardedIVFPQ:
         nshard = mesh.devices.size
         c = len(idx.centroids)
         assign = idx._assign
-        counts = np.bincount(assign, minlength=c)
+        valid = (
+            idx._valid if idx._valid.size else np.ones(len(assign), bool)
+        )
+        self._ids = idx._ids.copy()   # internal row -> external object id
+        counts = np.bincount(assign[valid], minlength=c)
 
         # greedy balance: heaviest centroid to the lightest shard
         shard_of = np.zeros(c, np.int32)
@@ -75,7 +79,7 @@ class ShardedIVFPQ:
         self.shard_loads = loads
 
         blocks = [
-            idx.host_blocks(np.nonzero(shard_of[assign] == s)[0])
+            idx.host_blocks(np.nonzero((shard_of[assign] == s) & valid)[0])
             for s in range(nshard)
         ]
         nb = max(b["bucket_ids"].shape[0] for b in blocks)
@@ -168,7 +172,11 @@ class ShardedIVFPQ:
             self.bucket_vals, self.bucket_norm, self.gid_flat,
             self.raw_flat, jnp.float32(self.scale), jnp.asarray(q),
         )
-        return np.asarray(out_i), np.asarray(out_d)
+        rows = np.asarray(out_i)
+        if len(self._ids):   # internal rows -> stable external ids
+            safe = np.clip(rows, 0, len(self._ids) - 1)
+            rows = np.where(rows >= 0, self._ids[safe], -1)
+        return rows, np.asarray(out_d)
 
 
 @functools.lru_cache(maxsize=None)

@@ -217,6 +217,12 @@ class IVFPQIndex:
         self._pending: list[np.ndarray] = []   # inserted, not yet encoded
         self._assign = np.zeros((0,), np.int32)
         self._codes = np.zeros((0, 0), np.uint8)  # packed when self.packed
+        # stable external object ids + liveness (the reference's records
+        # carry objectID explicitly, Quantizer.h:45-143; remove() tombstones
+        # and compress() reclaims, NGTQCommand.h:430-496, Quantizer.h:2747)
+        self._ids = np.zeros((0,), np.int64)
+        self._valid = np.zeros((0,), bool)
+        self._next_id = 0
         self._trained_size = 0
         self._dev = None
 
@@ -228,6 +234,11 @@ class IVFPQIndex:
             # mmap spills pending straight to the raw file (see batch_insert)
             n = max(n, self._raw.shape[0])
         return n
+
+    @property
+    def live_size(self) -> int:
+        """Records that remove() has not tombstoned (+ unencoded tail)."""
+        return int(self._valid.sum()) + (self.size - len(self._assign))
 
     @property
     def built(self) -> bool:
@@ -254,6 +265,8 @@ class IVFPQIndex:
         )
         return {
             "objects": int(n),
+            "live": int(self._valid.sum()),
+            "removed": int(n - self._valid.sum()),
             "codes_bytes": int(n * mp),
             "ids_bytes": int(n * 4),
             "centroid_bytes": int(
@@ -366,6 +379,12 @@ class IVFPQIndex:
             codes if self._codes.size == 0
             else np.concatenate([self._codes, codes], axis=0)
         )
+        new_ids = np.arange(
+            self._next_id, self._next_id + len(assign), dtype=np.int64
+        )
+        self._ids = np.concatenate([self._ids, new_ids])
+        self._valid = np.concatenate([self._valid, np.ones(len(assign), bool)])
+        self._next_id += len(assign)
         if self.raw_store != "mmap":
             self._append_raw(np.asarray(x))
         self._pending = []
@@ -421,6 +440,10 @@ class IVFPQIndex:
         codes = self._encode_assigned(x, assign)
         self._assign = assign
         self._codes = codes
+        if len(self._ids) != len(assign):   # fresh build (rebuild restores)
+            self._ids = np.arange(len(assign), dtype=np.int64)
+            self._next_id = len(assign)
+        self._valid = np.ones(len(assign), bool)
         if self.raw_store != "mmap":   # mmap: rows are already in the file
             self._raw = None
             self._append_raw(np.asarray(x))
@@ -431,10 +454,16 @@ class IVFPQIndex:
     def rebuild(self, kmeans_iters: int = 15, seed: int = 0) -> None:
         """Retrain codebooks on the CURRENT population and re-encode — the
         analogue of buildMultipleLocalCodebooks + replaceInvertedIndexEntry
-        at capacity (Quantizer.h:1846-1893).  Requires raw vectors."""
+        at capacity (Quantizer.h:1846-1893).  Requires raw vectors.
+        Tombstoned records are reclaimed first (a rebuild re-encodes the raw
+        store, so dead rows must not be resurrected); external ids are
+        preserved across the rebuild."""
         self._flush_pending()
         if self._raw is None:
             raise ValueError("rebuild needs raw vectors (raw_store != 'none')")
+        if self._valid.size and not self._valid.all():
+            self.compress()
+        keep_ids, keep_next = self._ids.copy(), self._next_id
         if self.raw_store == "mmap":
             # resetting _assign makes the WHOLE raw file the unflushed set;
             # build() streams it in chunks — nothing moves to host RAM
@@ -445,7 +474,84 @@ class IVFPQIndex:
         self.centroids = None
         self._assign = np.zeros((0,), np.int32)
         self._codes = np.zeros((0, 0), np.uint8)
+        self._ids = np.zeros((0,), np.int64)
+        self._valid = np.zeros((0,), bool)
         self.build(kmeans_iters=kmeans_iters, seed=seed)
+        self._ids, self._next_id = keep_ids, keep_next
+        self._valid = np.ones(len(keep_ids), bool)
+
+    def remove(self, ids, force: bool = False) -> int:
+        """Tombstone objects by external id (the ngtq remove command,
+        NGTQCommand.h:430-496): removed records stop appearing in searches;
+        storage is reclaimed by :meth:`compress`.  Unknown or
+        already-removed ids raise unless ``force`` (NGT::Index::remove's
+        force semantics, Index.h:1386-1421).  Returns the count removed."""
+        if not self.built:
+            raise ValueError("build the index before removing")
+        self._flush_pending()
+        req = np.atleast_1d(np.asarray(ids, np.int64))
+        n = len(self._ids)
+        pos = np.searchsorted(self._ids, req)   # _ids is strictly increasing
+        safe = np.clip(pos, 0, max(n - 1, 0))
+        ok = (pos < n) & (self._ids[safe] == req) if n else np.zeros(
+            len(req), bool
+        )
+        ok &= self._valid[safe] if n else False
+        if not ok.all() and not force:
+            raise ValueError(
+                "unknown or already-removed ids: "
+                f"{req[~ok][:8].tolist()}"
+            )
+        self._valid[safe[ok]] = False
+        self._dev = None
+        return int(ok.sum())
+
+    def compress(self) -> int:
+        """Physically drop tombstoned records, preserving external ids —
+        NGTQ::Index::compress rebuilds the inverted index into a temp file
+        and renames it over the old one (Quantizer.h:2747-2760); the mmap
+        raw store gets the same tmp-write + rename treatment here.  Returns
+        the number of records reclaimed."""
+        self._flush_pending()
+        if not self._valid.size or bool(self._valid.all()):
+            return 0
+        keep = np.nonzero(self._valid)[0]
+        dropped = len(self._valid) - len(keep)
+        self._assign = self._assign[keep]
+        if self._codes.size:
+            self._codes = np.ascontiguousarray(self._codes[keep])
+        self._ids = self._ids[keep]
+        self._valid = np.ones(len(keep), bool)
+        if self._raw is not None:
+            if self.raw_store == "mmap":
+                tmp = self.raw_path + ".tmp"
+                new = np.memmap(
+                    tmp, dtype=np.float32, mode="w+",
+                    shape=(max(len(keep), 1), self.dimension),
+                )
+                step = 1 << 20
+                for s in range(0, len(keep), step):
+                    new[s : s + step] = self._raw[keep[s : s + step]]
+                new.flush()
+                del new
+                self._raw = None
+                os.replace(tmp, self.raw_path)
+                if len(keep):
+                    self._raw = np.memmap(
+                        self.raw_path, dtype=np.float32, mode="r+",
+                        shape=(len(keep), self.dimension),
+                    )
+            else:
+                self._raw = np.ascontiguousarray(np.asarray(self._raw)[keep])
+        self._dev = None
+        return dropped
+
+    def _ext_ids(self, rows: np.ndarray) -> np.ndarray:
+        """Map internal record rows (-1 padded) to external object ids."""
+        if not len(self._ids):
+            return rows
+        safe = np.clip(rows, 0, len(self._ids) - 1)
+        return np.where(rows >= 0, self._ids[safe], -1)
 
     # -------------------------------------------------------------- device --
     def host_blocks(self, record_sel: np.ndarray | None = None) -> dict:
@@ -462,9 +568,11 @@ class IVFPQIndex:
         self._flush_pending()
         c = len(self.centroids)
         if record_sel is None:
-            record_sel = np.arange(len(self._assign), dtype=np.int64)
+            record_sel = np.nonzero(self._valid)[0].astype(np.int64)
         else:
             record_sel = np.asarray(record_sel, np.int64)
+            if self._valid.size:   # tombstoned records never enter buckets
+                record_sel = record_sel[self._valid[record_sel]]
         assign = self._assign[record_sel]
         counts = np.bincount(assign, minlength=c)
         nbuckets = np.maximum((counts + BUCKET_LEN - 1) // BUCKET_LEN, 0)
@@ -633,10 +741,10 @@ class IVFPQIndex:
                     qd, rows, jnp.asarray(ids_h), size=size,
                     metric=self.metric,
                 )
-            return np.asarray(out_i), np.asarray(out_d)
+            return self._ext_ids(np.asarray(out_i)), np.asarray(out_d)
         ids = ids[:, :size]
         dists = jnp.sqrt(jnp.maximum(dists[:, :size], 0))
-        return np.asarray(ids), np.asarray(dists)
+        return self._ext_ids(np.asarray(ids)), np.asarray(dists)
 
     def _search_exact(self, qd, probe, size):
         """Exact distances for every probed record (AggregationMode
@@ -656,7 +764,7 @@ class IVFPQIndex:
         out_i = jnp.take_along_axis(jnp.asarray(flat), sel, axis=1)
         out_d = -neg
         out_i = jnp.where(jnp.isfinite(out_d), out_i, -1)
-        return np.asarray(out_i), np.asarray(out_d)
+        return self._ext_ids(np.asarray(out_i)), np.asarray(out_d)
 
     def search(self, query, size=10, nprobe=8, result_expansion=3.0,
                mode: str = "refine"):
@@ -693,6 +801,11 @@ class IVFPQIndex:
             errs.append("code out of range")
         if self._raw is not None and self._raw.shape[0] != n:
             errs.append("raw object count mismatch")
+        if (self._ids.shape[0] != len(self._assign)
+                or self._valid.shape[0] != len(self._assign)):
+            errs.append("id/validity count mismatch")
+        elif len(self._ids) > 1 and not bool((np.diff(self._ids) > 0).all()):
+            errs.append("external ids not strictly increasing")
         return errs
 
     def quantization_error(self, sample: int = 1024, seed: int = 0) -> dict:
@@ -702,8 +815,9 @@ class IVFPQIndex:
         if self._raw is None:
             raise ValueError("audit needs raw vectors")
         rng = np.random.default_rng(seed)
-        n = len(self._assign)
-        pick = rng.choice(n, size=min(sample, n), replace=False)
+        live = np.nonzero(self._valid)[0]
+        pick = live[rng.choice(len(live), size=min(sample, len(live)),
+                               replace=False)]
         x = np.asarray(self._raw)[pick]
         codes = self._codes[pick]
         if self.packed:
@@ -731,6 +845,8 @@ class IVFPQIndex:
             centroids=self.centroids,
             assign=self._assign,
             codes=self._codes,
+            ids=self._ids,
+            valid=self._valid,
             x=raw,
             **{f"pq_{k}": v for k, v in self.pq.state_dict().items()},
         )
@@ -745,6 +861,7 @@ class IVFPQIndex:
                     "packed": self.packed,
                     "trained_size": self._trained_size,
                     "rebuild_factor": self.rebuild_factor,
+                    "next_id": self._next_id,
                 },
                 fh,
             )
@@ -787,5 +904,17 @@ class IVFPQIndex:
                 "dimension": int(st["pq_dimension"]),
             }
         )
+        n = len(idx._assign)
+        idx._ids = (
+            st["ids"] if "ids" in st.files
+            else np.arange(n, dtype=np.int64)   # round-1 format
+        )
+        idx._valid = (
+            st["valid"].astype(bool) if "valid" in st.files
+            else np.ones(n, bool)
+        )
+        idx._next_id = int(meta.get(
+            "next_id", int(idx._ids.max()) + 1 if n else 0
+        ))
         idx._trained_size = int(meta.get("trained_size", len(idx._assign)))
         return idx

@@ -69,6 +69,9 @@ def _sq8_fused_search(
     tunneled device (eager seed ops, graph_search, rerank) — the measured
     gap between direct graph_search calls and the production wrapper at 1M
     (BASELINE.md round 2e: 24.7k vs 21.6k qps)."""
+    # queries may arrive as f16 (NGT_TPU_QG_Q16 halves the tunnel upload);
+    # widen to f32 FIRST so every downstream contraction keeps f32 inputs
+    q = q.astype(jnp.float32)
     # 1. seed selection (selection-only scores; the traversal re-scores the
     #    chosen seeds exactly against the sq8 codes in-program)
     sd = D.seed_scores(metric, q, rep_rows, rep_sq=rep_sq)
@@ -421,6 +424,10 @@ class QuantizedGraphIndex:
             bounds = [
                 (i, min(i + chunk, b0), chunk) for i in range(0, b0, chunk)
             ]
+        # f16 query upload: the chunked dispatch is tunnel-bound, so halving
+        # the upload bytes buys throughput; the fused program widens back to
+        # f32 before any contraction.  Opt-in until measured per-deployment.
+        q16 = os.environ.get("NGT_TPU_QG_Q16", "0") == "1"
         outs = []
         for lo, hi, pad in bounds:
             qc = qh[lo:hi]
@@ -428,7 +435,10 @@ class QuantizedGraphIndex:
                 qc = np.concatenate(
                     [qc, np.repeat(qc[:1], pad - (hi - lo), axis=0)], axis=0
                 )
-            qd = idx.store.prepare_queries(qc)
+            qp = idx.store.prepare_queries_host(qc)
+            if q16 and qp.dtype == np.float32:   # u8 stores already ship 1 B
+                qp = qp.astype(np.float16)
+            qd = jnp.asarray(qp)
             outs.append(_sq8_fused_search(
                 blocks, nbr_eb, mirror.valid, self._dev_codes(), mirror.x,
                 seeder._rep_rows, seeder._rep_sq, seeder._rep_ids_dev,

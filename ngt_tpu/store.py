@@ -237,12 +237,10 @@ class VectorStore:
             self._dirty = False
         return self._device_x, self._device_valid, self._device_sqnorm
 
-    def prepare_queries(self, q: np.ndarray) -> jax.Array:
-        """Pad (and for normalized metrics, normalize) queries
+    def prepare_queries_host(self, q: np.ndarray) -> np.ndarray:
+        """Pad (and for normalized metrics, normalize) queries on the host
         (reference allocates query objects the same way it allocates stored
-        objects; ObjectSpaceRepository.h:560-618)."""
-        if self.sparse:
-            return jnp.asarray(self._prepare(np.asarray(q, dtype=np.int64)))
+        objects; ObjectSpaceRepository.h:560-618).  Dense metrics only."""
         q = np.asarray(q, dtype=np.float32)
         if q.ndim == 1:
             q = q[None, :]
@@ -256,7 +254,13 @@ class VectorStore:
             q = q / norms
         out = np.zeros((q.shape[0], self.d_pad), dtype=self._dtype)
         out[:, : self.dimension] = q.astype(self._dtype)
-        return jnp.asarray(out)
+        return out
+
+    def prepare_queries(self, q: np.ndarray) -> jax.Array:
+        """Host prep + device upload (see prepare_queries_host)."""
+        if self.sparse:
+            return jnp.asarray(self._prepare(np.asarray(q, dtype=np.int64)))
+        return jnp.asarray(self.prepare_queries_host(q))
 
     # -------------------------------------------------------- persistence ----
     def state_dict(self) -> dict:

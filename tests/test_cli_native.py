@@ -232,6 +232,22 @@ def test_cli_ngtq_family(cli_index, capsys, tmp_path):
     rc = cli_main(["ngtq-search", "-n", "3", "-m", "e", ipath, qpath])
     out = capsys.readouterr().out
     assert rc == 0 and "Query No.1" in out
+    # remove tombstones an object; compress reclaims it (reference ngtq
+    # remove/compress, NGTQCommand.h:430-496, Quantizer.h:2747)
+    rc = cli_main(["ngtq-remove", ipath, "1"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli_main(["ngtq-search", "-n", "5", "-p", "32", ipath, qpath])
+    out = capsys.readouterr().out
+    assert rc == 0
+    first = [l for l in out.splitlines() if l.startswith("1\t")][0]
+    assert first.split("\t")[1] != "1"
+    rc = cli_main(["ngtq-compress", ipath])
+    assert rc == 0
+    capsys.readouterr()
+    rc = cli_main(["ngtq-info", ipath])
+    out = capsys.readouterr().out
+    assert rc == 0 and "objects\t799" in out
     # mmap raw store: the raw file is created inside the index dir at
     # insert time (spill path), before build
     mpath = os.path.join(root, "nq_mmap")

@@ -425,6 +425,81 @@ def test_ivfpq_mmap_spill(ivf_setup, tmp_path):
     np.testing.assert_array_equal(c, d)
 
 
+def test_ivfpq_remove_compress(tmp_path):
+    """remove() tombstones by stable external id (ngtq remove,
+    NGTQCommand.h:430-496); compress() reclaims rows while preserving ids
+    (NGTQ::Index::compress, Quantizer.h:2747-2760); rebuild() never
+    resurrects tombstones."""
+    from ngt_tpu.quant.ivfpq import IVFPQIndex
+
+    rng = np.random.default_rng(7)
+    data = rng.normal(size=(1500, 24)).astype(np.float32)
+    queries = data[:16] + 0.01 * rng.normal(size=(16, 24)).astype(np.float32)
+    ivf = IVFPQIndex(24, n_centroids=32, dsub=2, ksub=16)
+    ivf.batch_insert(data)
+    ivf.build()
+    ids0, _ = ivf.batch_search(queries, size=5, nprobe=32)
+    assert (ids0[:, 0] == np.arange(16)).all()
+    # tombstoned records vanish from every aggregation mode
+    assert ivf.remove(np.arange(16)) == 16
+    assert ivf.live_size == len(data) - 16 and ivf.size == len(data)
+    for mode in ("refine", "approx", "exact"):
+        ids1, _ = ivf.batch_search(queries, size=5, nprobe=32, mode=mode)
+        assert not np.isin(ids1, np.arange(16)).any(), mode
+    assert ivf.verify() == []
+    # double-remove raises; force skips the dead one and removes the live
+    with pytest.raises(ValueError):
+        ivf.remove([0])
+    assert ivf.remove([0, 16], force=True) == 1
+    # compress physically reclaims; external ids and results are unchanged
+    before, bd = ivf.batch_search(queries, size=5, nprobe=32)
+    assert ivf.compress() == 17
+    assert ivf.size == len(data) - 17 and ivf._raw.shape[0] == ivf.size
+    after, ad = ivf.batch_search(queries, size=5, nprobe=32)
+    np.testing.assert_array_equal(before, after)
+    np.testing.assert_allclose(bd, ad, rtol=1e-5)
+    assert ivf.verify() == []
+    # persistence round-trips tombstones + ids
+    ivf.remove([20])
+    p = os.path.join(tmp_path, "ivf_rm")
+    ivf.save(p)
+    re = IVFPQIndex.open(p)
+    assert re.live_size == ivf.live_size
+    a, _ = ivf.batch_search(queries[:4], size=5, nprobe=32)
+    b, _ = re.batch_search(queries[:4], size=5, nprobe=32)
+    np.testing.assert_array_equal(a, b)
+    # new inserts get FRESH ids past every id ever assigned
+    re.batch_insert(data[:2])
+    ids2, _ = re.batch_search(data[:1], size=1, nprobe=32)
+    assert ids2[0, 0] >= len(data)
+    # rebuild reclaims tombstones, keeps ids strictly increasing
+    re.rebuild()
+    assert re.verify() == []
+    assert (np.diff(re._ids) > 0).all()
+    ids3, _ = re.batch_search(data[:1], size=1, nprobe=32)
+    assert ids3[0, 0] == ids2[0, 0]
+
+
+def test_ivfpq_remove_compress_mmap(tmp_path):
+    """The mmap raw store compacts via tmp-write + rename (the reference's
+    ivt-tmp dance, Quantizer.h:2747-2760) and stays consistent."""
+    from ngt_tpu.quant.ivfpq import IVFPQIndex
+
+    rng = np.random.default_rng(11)
+    data = rng.normal(size=(900, 24)).astype(np.float32)
+    raw = os.path.join(tmp_path, "raw.f32")
+    ivf = IVFPQIndex(24, n_centroids=16, dsub=2, ksub=16,
+                     raw_store="mmap", raw_path=raw)
+    ivf.batch_insert(data)
+    ivf.build()
+    assert ivf.remove(np.arange(100)) == 100
+    assert ivf.compress() == 100
+    assert os.path.getsize(raw) == (900 - 100) * 24 * 4
+    assert ivf.verify() == []
+    ids, _ = ivf.batch_search(data[100:108], size=1, nprobe=16)
+    np.testing.assert_array_equal(ids[:, 0], np.arange(100, 108))
+
+
 def test_ivfpq_dimension_check():
     from ngt_tpu.quant.ivfpq import IVFPQIndex
 
