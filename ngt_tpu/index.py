@@ -325,6 +325,13 @@ class Index:
             return None
         if self.store.metric not in _SQ8_METRICS:
             return None
+        cooldown = getattr(self, "_qg_cooldown_until", 0.0)
+        if cooldown:
+            import time as _time
+
+            if _time.monotonic() < cooldown:
+                return None   # device HBM was exhausted; exact path for now
+            self._qg_cooldown_until = 0.0
         n = self.graph.node_count()
         if mode != "qg" and n < self.prop.search_qg_threshold:
             return None
@@ -392,10 +399,30 @@ class Index:
         ):
             qg = self._maybe_qg()
             if qg is not None:
-                return qg.batch_search(
-                    queries, size=size, epsilon=epsilon,
-                    result_expansion=self.prop.result_expansion,
-                )
+                import time as _time
+
+                import jax as _jax
+
+                try:
+                    return qg.batch_search(
+                        queries, size=size, epsilon=epsilon,
+                        result_expansion=self.prop.result_expansion,
+                    )
+                except _jax.errors.JaxRuntimeError as exc:
+                    # the wrapper already shrank its neighbor blocks to the
+                    # width floor; the multi-tenant chip simply cannot fit
+                    # the sq8 mirror right now.  Serve this call on the
+                    # exact path and stop re-trying the mirror for a while
+                    # (each failed block gather costs seconds of enqueue).
+                    if "RESOURCE_EXHAUSTED" not in str(exc):
+                        raise
+                    from ngt_tpu.utils import logger
+
+                    logger.warning(
+                        "sq8 mirror does not fit in free device HBM; "
+                        "serving on the exact path (retry in 60s)"
+                    )
+                    self._qg_cooldown_until = _time.monotonic() + 60.0
         mirror = self._ensure_mirror()
         qdtype = np.int64 if self.store.sparse else np.float32
         q = self.store.prepare_queries(np.asarray(queries, dtype=qdtype))

@@ -227,6 +227,27 @@ class QuantizedGraphIndex:
         budget = int(gb * (1 << 30)) // max(cap * m, 1)
         return int(min(self.index.graph.e_max, max(16, budget)))
 
+    def _shrink_blocks(self) -> bool:
+        """Halve the neighbor-block width after a device OOM (shared-chip
+        HBM pressure is a runtime condition, not a config error: the 16 GB
+        chip is multi-tenant and free HBM varies run to run).  Returns False
+        once the width floor (16) is reached."""
+        eb = self._effective_block_edges()
+        if getattr(self, "_blocks_dev", None) is not None:
+            self._blocks_dev.delete()
+            self._blocks_dev = None
+            self._blocks_for = None
+        if eb <= 16:
+            return False
+        self.block_edges = max(16, eb // 2)
+        from ngt_tpu.utils import logger
+
+        logger.warning(
+            "device OOM on sq8 neighbor blocks; retrying at eb=%d",
+            self.block_edges,
+        )
+        return True
+
     def _dev_blocks(self):
         """Per-node neighbor code blocks [N, eb*M] + the matching adjacency
         slice [N, eb] — the reference's QuantizedNode stream
@@ -295,23 +316,33 @@ class QuantizedGraphIndex:
             qh = np.asarray(queries, dtype=np.float32)
             if qh.ndim == 1:
                 qh = qh[None, :]
-            try:
-                return self._batch_search_fused(
-                    qh, size, k_exp, epsilon, edge_size, width, expand
-                )
-            except jax.errors.JaxRuntimeError as exc:
-                # same rare axon-runtime dispatch flake the build path
-                # handles (graph/build.py): a bare INVALID_ARGUMENT.
-                # Anything else (RESOURCE_EXHAUSTED, real shape bugs) must
-                # surface — the eager redo would mask it on every batch.
-                if "INVALID_ARGUMENT" not in str(exc):
-                    raise
-                from ngt_tpu.utils import logger
+            while True:
+                try:
+                    return self._batch_search_fused(
+                        qh, size, k_exp, epsilon, edge_size, width, expand
+                    )
+                except jax.errors.JaxRuntimeError as exc:
+                    msg = str(exc)
+                    # shared-chip HBM pressure: shrink the block width and
+                    # retry instead of failing the search (free HBM on the
+                    # multi-tenant chip varies run to run)
+                    if "RESOURCE_EXHAUSTED" in msg:
+                        if self._shrink_blocks():
+                            continue
+                        raise
+                    # rare axon-runtime dispatch flake, same as the build
+                    # path (graph/build.py): a bare INVALID_ARGUMENT.
+                    # Anything else (real shape bugs) must surface — the
+                    # eager redo would mask it on every batch.
+                    if "INVALID_ARGUMENT" not in msg:
+                        raise
+                    from ngt_tpu.utils import logger
 
-                logger.warning(
-                    "fused sq8 search dispatch failed; redoing the batch "
-                    "on the eager path"
-                )
+                    logger.warning(
+                        "fused sq8 search dispatch failed; redoing the "
+                        "batch on the eager path"
+                    )
+                    break
 
         q = idx.store.prepare_queries(np.asarray(queries, dtype=np.float32))
         b0 = q.shape[0]

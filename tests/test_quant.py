@@ -224,6 +224,67 @@ def test_sq8_fused_flake_falls_back_to_eager(rng, monkeypatch):
     assert (np.asarray(ids_e) == np.asarray(ids_f)).mean() > 0.99
 
 
+def test_sq8_fused_oom_shrinks_blocks(rng, monkeypatch):
+    """RESOURCE_EXHAUSTED from the fused dispatch (shared-chip HBM
+    pressure) must shrink the neighbor-block width and retry, not fail
+    the search."""
+    from ngt_tpu.quant import qgraph as QG
+
+    data = rng.normal(size=(1500, 24)).astype(np.float32)
+    queries = rng.normal(size=(16, 24)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=24, search_mode="qg",
+                         edge_size_for_creation=40)
+    idx.batch_insert(data, build=True)
+    qg = idx._maybe_qg()
+    eb0 = qg._effective_block_edges()
+    assert eb0 > 16
+    real = QG._sq8_fused_search
+    calls = {"n": 0}
+
+    def oom_once(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise jax.errors.JaxRuntimeError(
+                "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted)"
+            )
+        return real(*a, **k)
+
+    monkeypatch.setattr(QG, "_sq8_fused_search", oom_once)
+    ids, _ = idx.batch_search(queries, size=10, epsilon=0.1)
+    assert calls["n"] == 2
+    assert qg._effective_block_edges() == max(16, eb0 // 2)
+    # subsequent searches run at the shrunken width with identical results
+    ids2, _ = idx.batch_search(queries, size=10, epsilon=0.1)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids2))
+
+
+def test_auto_route_oom_falls_back_to_exact(rng, monkeypatch):
+    """When the sq8 mirror cannot fit in free device HBM at all (shared
+    chip), Index.batch_search serves the call on the exact path and
+    cools down the routing instead of failing."""
+    data = rng.normal(size=(1500, 24)).astype(np.float32)
+    queries = rng.normal(size=(16, 24)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=24, search_mode="qg")
+    idx.batch_insert(data, build=True)
+    qg = idx._maybe_qg()
+
+    def boom(*a, **k):
+        raise jax.errors.JaxRuntimeError(
+            "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted)"
+        )
+
+    monkeypatch.setattr(qg, "batch_search", boom)
+    ids, _ = idx.batch_search(queries, size=10, epsilon=0.1)
+    idx.prop.search_mode = "exact"
+    ids_e, _ = idx.batch_search(queries, size=10, epsilon=0.1)
+    np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_e))
+    # routing stays cooled down, then resumes
+    idx.prop.search_mode = "qg"
+    assert idx._maybe_qg() is None
+    idx._qg_cooldown_until = 0.0
+    assert idx._maybe_qg() is qg
+
+
 def test_sq8_fused_chunked_matches_unchunked(rng, monkeypatch):
     """Chunked dispatch (upload/compute pipelining) must return exactly the
     whole-batch results — including the row-padded final chunk."""
