@@ -162,9 +162,11 @@ def cmd_search(args):
 
 
 def cmd_remove(args):
+    """Remove by the CLI's 1-based ids (the ids `search` prints; reference
+    Command.cpp remove loop).  The Index object is zero-based, so convert."""
     idx = ngt_tpu.open_index(args.index)
     for oid in args.ids:
-        idx.remove(int(oid))
+        idx.remove(int(oid) - 1)
     idx.save()
     return 0
 

@@ -31,7 +31,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ngt_tpu.graph.search import graph_search
+from ngt_tpu.graph.search import graph_search, wrap_hash_bits
 from ngt_tpu.graph.storage import GraphStore
 from ngt_tpu.ops import distances as D
 from ngt_tpu.properties import DistanceType, GraphType, Property
@@ -288,10 +288,6 @@ class DeviceMirror:
         self.version += 1
 
 
-def _hash_bits_for(capacity: int) -> tuple[int, bool]:
-    # exact visited bitmap up to 2^20 ids (see index._wrap_hash_bits)
-    bits = max(min(int(math.ceil(math.log2(max(capacity, 2)))), 20), 10)
-    return bits, capacity <= (1 << bits)
 
 
 @functools.partial(jax.jit, static_argnames=("e_max", "cap", "reverse"))
@@ -850,9 +846,12 @@ def build_bulk(
     # call (each dispatch over the axon tunnel costs ~0.1-1 s, so dispatch
     # COUNT — not MXU time — dominated the 1M build before tiling)
     qtile = 4096
-    qblock = 32 * qtile if fast else 4096
+    qblock = int(os.environ.get("NGT_TPU_BULK_QBLOCK", "0")) or (
+        32 * qtile if fast else 4096
+    )
     fresh = graph.node_count() == 0
     dev_chunks = [] if fresh else None
+    host_chunks = []  # incremental append: (chunk, sel_i, sel_d) per chunk
 
     # scan_impl: the fused Pallas kernel (ops/pallas_scan.py) keeps the
     # score tiles in VMEM (measured 1.55-1.65x the XLA scan at 1M within
@@ -935,9 +934,20 @@ def build_bulk(
         sel_i = np.take_along_axis(ids, order, axis=1)
         sel_d = np.take_along_axis(dists, order, axis=1)
         sel_i[~np.isfinite(sel_d)] = -1
+        host_chunks.append((chunk, sel_i, sel_d))
+
+    # incremental append: apply in TWO phases — every node row first, every
+    # reverse edge second.  Interleaving them per chunk loses cross-chunk
+    # reverse edges: chunk A's add_edges into a pending node of chunk B is
+    # wiped when B's set_nodes later overwrites that row, so a chunked
+    # append would end up less connected than a fresh build of the same
+    # data (the fresh path's _bulk_graph_rows unions forward+reverse over
+    # the WHOLE append at once).
+    for chunk, sel_i, sel_d in host_chunks:
         graph.set_nodes(chunk, sel_i, sel_d)
-        ok = sel_i >= 0
-        if prop.graph_type != GraphType.KNNG:
+    if prop.graph_type != GraphType.KNNG:
+        for chunk, sel_i, sel_d in host_chunks:
+            ok = sel_i >= 0
             graph.add_edges(
                 sel_i[ok].astype(np.int64),
                 np.repeat(chunk, ok.sum(axis=1)).astype(np.int32),
@@ -1128,7 +1138,7 @@ def truncate_relink(
     qrows = store._x[pad]
     qvalid = np.zeros((bpad,), bool)
     qvalid[: len(utgt)] = True
-    bits, exact = _hash_bits_for(mirror.capacity)
+    bits, exact = wrap_hash_bits(mirror.capacity, prop.visited_bits_log2)
     kb = max(min(k, bpad - 1), 1)
     f_ids, f_d, _, _ = _fused_insert_search_jit(
         mirror.x, mirror.nbr, mirror.valid, mirror.sqnorm,
@@ -1275,7 +1285,7 @@ def build_anng(
         qvalid = np.zeros((bpad,), bool)
         qvalid[:bsz] = True
 
-        bits, exact = _hash_bits_for(mirror.capacity)
+        bits, exact = wrap_hash_bits(mirror.capacity, prop.visited_bits_log2)
         kb = max(min(k, bpad - 1), 1)
         exact_candidates = prop.graph_type in (
             GraphType.KNNG, GraphType.BKNNG
@@ -1298,9 +1308,13 @@ def build_anng(
             b_d = np.take_along_axis(pbn, b_ids, axis=1)
             f_ids, f_d = jax.device_get((f_ids, f_d))
         elif sq8:
-            if np.abs(qrows).max() > 127.0 * sq8_scale:
-                # outlier beyond the int8 range: grow the scale and re-encode
-                sq8_scale *= 2.0
+            qmax = float(np.abs(qrows).max())
+            if qmax > 127.0 * sq8_scale:
+                # outlier beyond the int8 range: grow the scale far enough
+                # to cover it (a single doubling can still clip when the
+                # sampling window missed a heavy-tailed value) and re-encode
+                while qmax > 127.0 * sq8_scale:
+                    sq8_scale *= 2.0
                 codes_dev, blocks_dev = _make_codes_blocks(
                     mirror.x, mirror.nbr, 1.0 / sq8_scale
                 )

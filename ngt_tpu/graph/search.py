@@ -32,6 +32,7 @@ Instrumentation mirrors the reference's ``visitCount`` /
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 from typing import NamedTuple
@@ -44,6 +45,19 @@ from ngt_tpu.properties import DistanceType
 
 _F32 = jnp.float32
 _I32 = jnp.int32
+
+
+def wrap_hash_bits(capacity: int, override: int = 0) -> tuple[int, bool]:
+    """Visited-bitmap sizing, THE single copy (index/build/qgraph all use
+    it): exact (identity-indexed) up to 2^20 ids — hash collisions falsely
+    mark candidates visited and cap recall (the reference's
+    HashBasedBooleanSet avoids this with an overflow set;
+    HashBasedBooleanSet.h:25-109). 2^20 bits = 128 KiB per query."""
+    if override > 0:
+        bits = override
+    else:
+        bits = max(min(int(math.ceil(math.log2(max(capacity, 2)))), 20), 10)
+    return bits, capacity <= (1 << bits)
 _U32 = jnp.uint32
 # np, NOT jnp: a module-level jnp scalar commits a device buffer at import,
 # which initializes the XLA backend and breaks jax.distributed.initialize

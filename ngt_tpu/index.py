@@ -24,7 +24,11 @@ import numpy as np
 import jax.numpy as jnp
 
 from ngt_tpu.graph.build import DeviceMirror, build_anng, remove_object, _bucket, _pad_ids
-from ngt_tpu.graph.search import graph_search, seeded_search  # noqa: F401
+from ngt_tpu.graph.search import (  # noqa: F401
+    graph_search,
+    seeded_search,
+    wrap_hash_bits as _wrap_hash_bits,
+)
 from ngt_tpu.graph.storage import GraphStore
 from ngt_tpu.ops import bruteforce as BF
 from ngt_tpu.properties import (
@@ -880,16 +884,6 @@ class Index:
         return idx
 
 
-def _wrap_hash_bits(capacity: int, override: int) -> tuple[int, bool]:
-    """Visited-bitmap sizing: exact (identity-indexed) up to 2^20 ids —
-    hash collisions falsely mark candidates visited and cap recall (the
-    reference's HashBasedBooleanSet avoids this with an overflow set;
-    HashBasedBooleanSet.h:25-109). 2^20 bits = 128 KiB per query."""
-    if override > 0:
-        bits = override
-    else:
-        bits = max(min(int(math.ceil(math.log2(max(capacity, 2)))), 20), 10)
-    return bits, capacity <= (1 << bits)
 
 
 # ---------------------------------------------------------------- factory ---

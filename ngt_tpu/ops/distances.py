@@ -51,10 +51,14 @@ NORMALIZED_METRICS = frozenset(
         DistanceType.NORMALIZED_L2,
         DistanceType.NORMALIZED_COSINE,
         DistanceType.NORMALIZED_ANGLE,
-        DistanceType.COSINE,  # we normalize at insert; cosine == normalized cosine then
-        DistanceType.ANGLE,
     }
 )
+
+# Plain angular metrics: stored UN-normalized (the reference computes
+# Cosine/Angle with explicit norms, PrimitiveComparator.h:487-553, and
+# normalizes at insert only for the Normalized* variants); any dot-based
+# seed surrogate must divide by the stored norms.
+ANGULAR_METRICS = frozenset({DistanceType.COSINE, DistanceType.ANGLE})
 
 #: metrics computed on uint8 *bit patterns* (stored as uint8, never cast)
 BITWISE_METRICS = frozenset({DistanceType.HAMMING, DistanceType.JACCARD})
@@ -168,13 +172,23 @@ def seed_scores(
     # NOTE: the [B, reps] score TILE stays f32 — emitting it in bf16 was
     # measured to cost ~0.2% recall@10 at 1M (and fails the selection-quality
     # test); the HBM saved on the tile write does not pay for it.
-    if metric in NORMALIZED_METRICS:
+    if metric in NORMALIZED_METRICS or metric in ANGULAR_METRICS:
         qf = q.astype(_F32)
         dot = jnp.dot(
             qf.astype(jnp.bfloat16), reps.astype(jnp.bfloat16).T,
             preferred_element_type=_F32,
         )
-        return -dot  # all normalized metrics are monotone-decreasing in dot
+        if metric in ANGULAR_METRICS:
+            # plain Cosine/Angle rows are stored UN-normalized: raw -dot
+            # would rank large-norm reps over angularly-near ones.  Divide
+            # by the rep norms (|q| is constant per row — rank-invariant).
+            r_sq = (
+                rep_sq
+                if rep_sq is not None
+                else jnp.sum(reps.astype(_F32) * reps.astype(_F32), axis=-1)
+            )
+            dot = dot * jax.lax.rsqrt(jnp.maximum(r_sq, 1e-30))[None, :]
+        return -dot  # normalized/angular metrics are monotone-decreasing in dot
     if metric == DistanceType.L2:
         qf = q.astype(_F32)
         rf = reps.astype(_F32)

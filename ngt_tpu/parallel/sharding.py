@@ -263,14 +263,17 @@ def make_sharded_build_step(
         nn_i = jnp.take_along_axis(all_i, sel, axis=1)        # [B, k] global
         nn_d = -neg
 
-        # -- scatter object rows owned by this shard
+        # -- scatter object rows owned by this shard.  Rows another shard
+        # owns route to the OUT-OF-BOUNDS slot n_local and are dropped by
+        # the scatter (mode="drop"): a clamp to slot 0 would collide a
+        # real insert targeting slot 0 with the dummy writes, and XLA
+        # scatter-set is order-nondeterministic under duplicate indices
+        # (same hazard _merge_reverse_edges documents above).
         owner = new_gids // n_local
-        local_slot = jnp.where(owner == my, new_gids % n_local, 0)
         mine = owner == my
-        x = x.at[local_slot].set(
-            jnp.where(mine[:, None], newx, x[local_slot])
-        )
-        valid = valid.at[local_slot].set(valid[local_slot] | mine)
+        local_slot = jnp.where(mine, new_gids % n_local, n_local)
+        x = x.at[local_slot].set(newx, mode="drop")
+        valid = valid.at[local_slot].set(True, mode="drop")
 
         # -- new nodes' own adjacency rows (local ids on the owning shard).
         # Cross-shard edges are dropped in this layout — each shard's
@@ -288,12 +291,8 @@ def make_sharded_build_step(
         nn_row = nn_row.at[:, : nn_local.shape[1]].set(nn_local)
         nn_row_d = jnp.full((b, e_width), jnp.inf, nbr_d.dtype)
         nn_row_d = nn_row_d.at[:, : nn_ld.shape[1]].set(nn_ld)
-        nbr = nbr.at[local_slot].set(
-            jnp.where(mine[:, None], nn_row, nbr[local_slot])
-        )
-        nbr_d = nbr_d.at[local_slot].set(
-            jnp.where(mine[:, None], nn_row_d, nbr_d[local_slot])
-        )
+        nbr = nbr.at[local_slot].set(nn_row, mode="drop")
+        nbr_d = nbr_d.at[local_slot].set(nn_row_d, mode="drop")
 
         # -- reverse edges: sorted bounded insert into owned target rows
         tgt_mine = (nn_i >= 0) & (nn_i // n_local == my)

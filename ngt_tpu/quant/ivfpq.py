@@ -268,7 +268,7 @@ class IVFPQIndex:
             "live": int(self._valid.sum()),
             "removed": int(n - self._valid.sum()),
             "codes_bytes": int(n * mp),
-            "ids_bytes": int(n * 4),
+            "ids_bytes": int(n * self._ids.itemsize),  # int64 ids
             "centroid_bytes": int(
                 0 if self.centroids is None else self.centroids.nbytes
             ),
@@ -489,7 +489,9 @@ class IVFPQIndex:
         if not self.built:
             raise ValueError("build the index before removing")
         self._flush_pending()
-        req = np.atleast_1d(np.asarray(ids, np.int64))
+        # dedupe: repeated ids in one call would each pass the liveness
+        # check (it reads pre-removal state) and inflate the count
+        req = np.unique(np.atleast_1d(np.asarray(ids, np.int64)))
         n = len(self._ids)
         pos = np.searchsorted(self._ids, req)   # _ids is strictly increasing
         safe = np.clip(pos, 0, max(n - 1, 0))

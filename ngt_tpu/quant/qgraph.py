@@ -468,7 +468,11 @@ class QuantizedGraphIndex:
                 )
             qp = idx.store.prepare_queries_host(qc)
             if q16 and qp.dtype == np.float32:   # u8 stores already ship 1 B
-                qp = qp.astype(np.float16)
+                # guard the narrowing: components beyond the f16 range would
+                # become inf and poison the seed matmul (cf. _upload_f32's
+                # lossless-narrowing check, graph/build.py) — keep f32 then
+                if np.abs(qp).max(initial=0.0) <= np.float32(65504.0):
+                    qp = qp.astype(np.float16)
             qd = jnp.asarray(qp)
             outs.append(_sq8_fused_search(
                 blocks, nbr_eb, mirror.valid, self._dev_codes(), mirror.x,

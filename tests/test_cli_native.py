@@ -7,6 +7,7 @@ import sys
 import numpy as np
 import pytest
 
+import ngt_tpu
 from ngt_tpu import native
 from ngt_tpu.cli import main as cli_main, _parse_eval_stream, _epsilon_list
 from ngt_tpu.graph.storage import GraphStore
@@ -155,9 +156,17 @@ def test_cli_reconstruct_and_quantize(cli_index, capsys):
 
 
 def test_cli_remove_and_repair(cli_index, capsys):
-    ipath, _, _ = cli_index
+    ipath, _, data = cli_index
     rc = cli_main(["remove", ipath, "5"])
     assert rc == 0
+    # the CLI speaks 1-based ids (what `search` prints): "5" must delete
+    # the object search would have printed as ID 5 — zero-based id 4 —
+    # and leave its neighbors alone
+    reopened = ngt_tpu.open_index(ipath)
+    with pytest.raises(KeyError):
+        reopened.get_object(4)
+    np.testing.assert_allclose(reopened.get_object(5), data[5], atol=1e-5)
+    np.testing.assert_allclose(reopened.get_object(3), data[3], atol=1e-5)
     rc = cli_main(["repair", ipath])
     assert rc == 0
     rc = cli_main(["info", "-m", "v", ipath])

@@ -204,3 +204,40 @@ def test_seed_scores_selection_quality(rng):
     ap_top = np.argsort(approx_c, axis=1, kind="stable")[:, :10]
     mean_overlap = np.mean([len(set(e) & set(a)) / 10.0 for e, a in zip(ex_top, ap_top)])
     assert mean_overlap >= 0.9
+
+
+def test_seed_scores_angular_unnormalized(rng):
+    """Plain Cosine/Angle rows are stored UN-normalized (the store
+    normalizes only the Normalized* metrics), so seed selection must rank
+    by angle, not raw dot — a huge-norm rep nearly orthogonal to q must
+    not outrank an aligned small-norm rep."""
+    import jax.numpy as jnp
+    from ngt_tpu.ops import distances as D
+    from ngt_tpu.properties import DistanceType
+
+    q = rng.normal(size=(16, 32)).astype(np.float32)
+    reps = rng.normal(size=(256, 32)).astype(np.float32)
+    # wildly varying norms: raw -dot would rank by magnitude
+    reps *= rng.uniform(0.05, 50.0, size=(256, 1)).astype(np.float32)
+    for metric in (DistanceType.COSINE, DistanceType.ANGLE):
+        exact = np.asarray(
+            D.pairwise(metric, jnp.asarray(q), jnp.asarray(reps))
+        )
+        approx = np.asarray(
+            D.seed_scores(metric, jnp.asarray(q), jnp.asarray(reps))
+        )
+        ex_top = np.argsort(exact, axis=1, kind="stable")[:, :10]
+        ap_top = np.argsort(approx, axis=1, kind="stable")[:, :10]
+        overlap = np.mean(
+            [len(set(e) & set(a)) / 10.0 for e, a in zip(ex_top, ap_top)]
+        )
+        assert overlap >= 0.9, f"{metric}: overlap {overlap}"
+        # rep_sq (precomputed squared norms) must give identical scores
+        sq = np.asarray(D.sq_norms(jnp.asarray(reps)))
+        with_sq = np.asarray(
+            D.seed_scores(
+                metric, jnp.asarray(q), jnp.asarray(reps),
+                rep_sq=jnp.asarray(sq),
+            )
+        )
+        np.testing.assert_allclose(approx, with_sq, rtol=1e-5, atol=1e-5)

@@ -496,6 +496,40 @@ def test_auto_bulk_append_routing(rng):
     assert got[0][0] == 777
 
 
+def test_bulk_append_cross_chunk_reverse_edges(rng, monkeypatch):
+    """A chunked bulk append must keep reverse edges whose TARGET sits in a
+    later chunk: node rows are applied for every chunk first, then reverse
+    edges merge.  (A per-chunk interleave wiped chunk A's reverse edges
+    into chunk B's nodes when B's own row write landed later, leaving the
+    appended graph less connected than a fresh build of the same data.)
+    Invariant checked: for every directed edge u->v where v's row still
+    has free slots, the reverse v->u exists (add_edges only drops a
+    reverse edge from a FULL row of strictly nearer edges)."""
+    monkeypatch.setenv("NGT_TPU_BULK_QBLOCK", "256")
+    data = rng.normal(size=(1100, 12)).astype(np.float32) * 5
+    idx = ngt_tpu.create(None, dimension=12, edge_size_for_creation=8)
+    idx.prop.bulk_append_threshold = 256
+    idx.batch_insert(data[:300], build=True)   # fresh bulk build
+    idx.batch_insert(data[300:], build=True)   # 800 rows -> 4 chunks
+    assert idx.graph.node_count() == 1100
+    g = idx.graph
+    n = idx.store.repository_size
+    missing = checked = 0
+    for u in range(1, n):
+        if not g._has_node[u]:
+            continue
+        row_u = g.nbr_ids[u]
+        for v in row_u[row_u >= 0]:
+            row_v = g.nbr_ids[int(v)]
+            if (row_v >= 0).all():
+                continue  # full rows may legitimately evict the reverse
+            checked += 1
+            missing += int(u not in row_v)
+    assert checked > 0
+    assert missing == 0, f"{missing}/{checked} reverse edges lost"
+    assert idx.verify() == []
+
+
 def test_truncation_relink_incremental(rng):
     """Incremental truncation mirrors truncateEdgesOptimally
     (Graph.cpp:947-1103): over-threshold rows are capped, the reverse

@@ -299,6 +299,34 @@ def test_sq8_fused_chunked_matches_unchunked(rng, monkeypatch):
     assert (np.asarray(ids_c) == np.asarray(ids_u)).mean() > 0.99
 
 
+def test_sq8_fused_q16_upload(rng, monkeypatch):
+    """NGT_TPU_QG_Q16=1 ships queries as f16 over the link; the fused
+    program widens back to f32 before any contraction, so results must
+    stay within f16-rounding of the f32 upload (recall-equivalent)."""
+    data = rng.normal(size=(1500, 24)).astype(np.float32)
+    queries = rng.normal(size=(32, 24)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=24, search_mode="qg")
+    idx.batch_insert(data, build=True)
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+    ids_f, d_f = idx.batch_search(queries, size=10, epsilon=0.1)
+    monkeypatch.setenv("NGT_TPU_QG_Q16", "1")
+    ids_h, d_h = idx.batch_search(queries, size=10, epsilon=0.1)
+    # f16 mantissa loss perturbs distances ~1e-3 relatively; ranking of
+    # the re-ranked top-10 must stay essentially identical
+    assert (np.asarray(ids_h) == np.asarray(ids_f)).mean() > 0.95
+    rec = recall_at_k(np.asarray(ids_h), np.asarray(gt_ids), 10)
+    rec_f = recall_at_k(np.asarray(ids_f), np.asarray(gt_ids), 10)
+    assert rec >= rec_f - 0.02
+    # overflow guard: a component beyond the f16 range (would become inf
+    # and poison the seed matmul) keeps that batch's upload f32
+    big = queries.copy()
+    big[0, 0] = 1.0e6
+    ids_b16, _ = idx.batch_search(big, size=10, epsilon=0.1)  # q16 still set
+    monkeypatch.delenv("NGT_TPU_QG_Q16")
+    ids_b32, _ = idx.batch_search(big, size=10, epsilon=0.1)
+    np.testing.assert_array_equal(np.asarray(ids_b16), np.asarray(ids_b32))
+
+
 def test_sq8_fused_cosine(rng, monkeypatch):
     """Fused path on a normalized metric: queries are normalized in-program
     (normalize_q) and must match the eager route."""
@@ -511,11 +539,14 @@ def test_ivfpq_remove_compress(tmp_path):
     # double-remove raises; force skips the dead one and removes the live
     with pytest.raises(ValueError):
         ivf.remove([0])
+    # duplicate ids within ONE call count (and tombstone) once
+    assert ivf.remove([17, 17]) == 1
+    assert ivf.live_size == len(data) - 17
     assert ivf.remove([0, 16], force=True) == 1
     # compress physically reclaims; external ids and results are unchanged
     before, bd = ivf.batch_search(queries, size=5, nprobe=32)
-    assert ivf.compress() == 17
-    assert ivf.size == len(data) - 17 and ivf._raw.shape[0] == ivf.size
+    assert ivf.compress() == 18
+    assert ivf.size == len(data) - 18 and ivf._raw.shape[0] == ivf.size
     after, ad = ivf.batch_search(queries, size=5, nprobe=32)
     np.testing.assert_array_equal(before, after)
     np.testing.assert_allclose(bd, ad, rtol=1e-5)

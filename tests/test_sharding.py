@@ -125,6 +125,22 @@ def test_sharded_build_step_executes():
     for row in nbr2[: 3 * n_local // p]:
         live = row[row >= 0]
         assert len(live) == len(set(live.tolist())), "duplicate edge in row"
+    # slot-0 ownership: a batch whose gids land on LOCAL SLOT 0 of every
+    # shard must not collide with the non-owned rows' writes (mode="drop"
+    # routes those out of bounds; the old clamp-to-0 raced this exact
+    # case and could nondeterministically lose the insert)
+    newx3 = jnp.asarray(rng.normal(size=(p, x_s.shape[2])).astype(np.float32))
+    new_gids3 = jnp.asarray(
+        np.arange(p, dtype=np.int32) * n_local
+    )
+    out3 = step(out2.x, out2.nbr, out2.nbr_dist, out2.valid, newx3,
+                new_gids3, sidx.seed_ids_local)
+    v3 = np.asarray(out3.valid)
+    assert v3[np.asarray(new_gids3)].all(), "slot-0 insert lost"
+    np.testing.assert_allclose(
+        np.asarray(out3.x)[np.asarray(new_gids3)], np.asarray(newx3),
+        rtol=1e-6,
+    )
 
 
 def test_merge_reverse_edges_semantics():
