@@ -46,6 +46,38 @@ def _epsilon_list(spec: str):
     return [round(begin + i * step, 10) for i in range(count)]
 
 
+def _expansion_list(spec) -> list:
+    """'begin[:end[:[x]step]]' result-expansion sweep (reference
+    NGTQCommand.h:321-339: a step prefixed with 'x' multiplies instead of
+    adds; default step is additive 1)."""
+    toks = str(spec).split(":")
+    begin = float(toks[0])
+    if len(toks) < 2:
+        return [begin]
+    end = float(toks[1])
+    mul = False
+    step = 1.0
+    if len(toks) >= 3:
+        s = toks[2]
+        if s.startswith("x"):
+            mul = True
+            s = s[1:]
+        step = float(s)
+    out = []
+    v = begin
+    while v <= end + 1e-9 and len(out) < 1000:
+        out.append(round(v, 10))
+        if mul:
+            if step <= 1.0:
+                break
+            v *= step
+        else:
+            if step <= 0.0:
+                break
+            v += step
+    return out or [begin]
+
+
 # ------------------------------------------------------------- commands ----
 
 
@@ -414,18 +446,27 @@ def cmd_qsearch(args):
 
     qg = QuantizedGraphIndex.open(args.index)
     queries = _load_tsv(args.query, qg.index.store.dimension)
+    epsilons = _epsilon_list(str(args.epsilon))
+    expansions = _expansion_list(args.result_expansion)
+    sweep = len(epsilons) > 1 or len(expansions) > 1
     for qi, q in enumerate(queries, 1):
-        t0 = time.time()
-        results = qg.search(
-            q, size=args.size, epsilon=args.epsilon,
-            result_expansion=args.result_expansion,
-        )
-        dt = time.time() - t0
-        print(f"Query No.{qi}")
-        print("Rank\tID\tDistance")
-        for rank, (oid, dist) in enumerate(results, 1):
-            print(f"{rank}\t{oid + 1}\t{dist:g}")
-        print(f"Query Time= {dt:g} (sec), {dt * 1000.0:g} (msec)")
+        for eps in epsilons:
+            for rx in expansions:
+                t0 = time.time()
+                results = qg.search(
+                    q, size=args.size, epsilon=eps, result_expansion=rx,
+                )
+                dt = time.time() - t0
+                print(f"Query No.{qi}")
+                if sweep:
+                    # the reference's ngtqg search prints the swept knob per
+                    # block (NGTQGCommand.cpp epsilon/result-expansion sweep)
+                    print(f"# Epsilon={eps:g}")
+                    print(f"# Result expansion={rx:g}")
+                print("Rank\tID\tDistance")
+                for rank, (oid, dist) in enumerate(results, 1):
+                    print(f"{rank}\t{oid + 1}\t{dist:g}")
+                print(f"Query Time= {dt:g} (sec), {dt * 1000.0:g} (msec)")
     return 0
 
 
@@ -486,18 +527,22 @@ def cmd_ngtq_search(args):
 
     ivf = IVFPQIndex.open(args.index)
     queries = _load_tsv(args.query, ivf.dimension)
+    expansions = _expansion_list(args.result_expansion)
     for qi, q in enumerate(queries, 1):
-        t0 = time.time()
-        results = ivf.search(
-            q, size=args.size, nprobe=args.nprobe,
-            result_expansion=args.result_expansion, mode=args.mode,
-        )
-        dt = time.time() - t0
-        print(f"Query No.{qi}")
-        print("Rank\tID\tDistance")
-        for rank, (oid, dist) in enumerate(results, 1):
-            print(f"{rank}\t{oid + 1}\t{dist:g}")
-        print(f"Query Time= {dt:g} (sec), {dt * 1000.0:g} (msec)")
+        for rx in expansions:
+            t0 = time.time()
+            results = ivf.search(
+                q, size=args.size, nprobe=args.nprobe,
+                result_expansion=rx, mode=args.mode,
+            )
+            dt = time.time() - t0
+            print(f"Query No.{qi}")
+            if len(expansions) > 1:
+                print(f"# Result expansion={rx:g}")
+            print("Rank\tID\tDistance")
+            for rank, (oid, dist) in enumerate(results, 1):
+                print(f"{rank}\t{oid + 1}\t{dist:g}")
+            print(f"Query Time= {dt:g} (sec), {dt * 1000.0:g} (msec)")
     return 0
 
 
@@ -704,8 +749,11 @@ def build_parser() -> argparse.ArgumentParser:
 
     qs = sub.add_parser("qsearch", help="quantized-graph search")
     qs.add_argument("-n", "--size", type=int, default=20)
-    qs.add_argument("-e", "--epsilon", type=float, default=0.02)
-    qs.add_argument("-p", "--result-expansion", type=float, default=3.0)
+    qs.add_argument("-e", "--epsilon", default="0.02",
+                    help="epsilon or sweep begin:end:step[:n]")
+    qs.add_argument("-p", "--result-expansion", default="3.0",
+                    help="expansion or sweep begin:end[:[x]step] "
+                         "(x = multiplicative, NGTQCommand.h:321-339)")
     qs.add_argument("index")
     qs.add_argument("query")
     qs.set_defaults(fn=cmd_qsearch)
@@ -735,7 +783,9 @@ def build_parser() -> argparse.ArgumentParser:
     nqs = sub.add_parser("ngtq-search", help="IVF+PQ search")
     nqs.add_argument("-n", "--size", type=int, default=20)
     nqs.add_argument("-p", "--nprobe", type=int, default=8)
-    nqs.add_argument("-b", "--result-expansion", type=float, default=3.0)
+    nqs.add_argument("-b", "--result-expansion", default="3.0",
+                     help="expansion or sweep begin:end[:[x]step] "
+                          "(x = multiplicative, NGTQCommand.h:321-339)")
     nqs.add_argument("-m", "--mode", default="refine",
                      help="a/l/c=approx-LUT, r=refine (default), e=exact "
                           "(reference aggregation modes)")

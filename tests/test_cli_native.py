@@ -9,7 +9,9 @@ import pytest
 
 import ngt_tpu
 from ngt_tpu import native
-from ngt_tpu.cli import main as cli_main, _parse_eval_stream, _epsilon_list
+from ngt_tpu.cli import (
+    main as cli_main, _parse_eval_stream, _epsilon_list, _expansion_list,
+)
 from ngt_tpu.graph.storage import GraphStore
 
 
@@ -77,6 +79,16 @@ def test_epsilon_list():
     assert _epsilon_list("0.1") == [0.1]
     assert _epsilon_list("0:0.2:0.1") == [0.0, 0.1, 0.2]
     assert _epsilon_list("0:0.3:0.1:3") == [0.0, 0.1, 0.2, 0.3]
+
+
+def test_expansion_list():
+    # reference -b begin:end[:[x]step] sweep, NGTQCommand.h:321-339
+    assert _expansion_list("3.0") == [3.0]
+    assert _expansion_list(3.0) == [3.0]
+    assert _expansion_list("1:4") == [1.0, 2.0, 3.0, 4.0]
+    assert _expansion_list("2:10:4") == [2.0, 6.0, 10.0]
+    assert _expansion_list("1:16:x2") == [1.0, 2.0, 4.0, 8.0, 16.0]
+    assert _expansion_list("5:1") == [5.0]  # empty range -> begin only
 
 
 @pytest.fixture(scope="module")
@@ -153,6 +165,11 @@ def test_cli_reconstruct_and_quantize(cli_index, capsys):
     rc = cli_main(["qsearch", "-n", "3", ipath, qpath])
     out = capsys.readouterr().out
     assert rc == 0 and "Query No.1" in out
+    # result-expansion sweep prints one block per swept value
+    rc = cli_main(["qsearch", "-n", "3", "-p", "1:4:x2", ipath, qpath])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert out.count("# Result expansion=") == 3 * 3  # 3 queries x 3 values
 
 
 def test_cli_remove_and_repair(cli_index, capsys):
