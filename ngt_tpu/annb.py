@@ -107,7 +107,9 @@ class ANNG(BaseANN):
             np.ascontiguousarray(np.asarray(X, dtype=np.float32)),
             size=n, epsilon=self._epsilon,
         )
-        self.res = list(np.asarray(ids))
+        # drop -1 padding so batch results index the train matrix safely,
+        # matching the single-query path (uniform across all adapters)
+        self.res = [r[r >= 0] for r in np.asarray(ids)]
 
     def done(self) -> None:
         self.index = None
@@ -137,6 +139,7 @@ class PANNG(ANNG):
         )
         idx.graph = adjust_paths(g, n, min_edges=self._prune_edge)
         idx._mirror = None
+        idx._qg = None  # a quantized mirror would serve the stale adjacency
 
 
 class ONNG(ANNG):
@@ -158,7 +161,9 @@ class ONNG(ANNG):
         GraphOptimizer(
             out_edges=self._out, in_edges=self._in, tune_parameters=False,
         ).execute(self.index)
-        # reconstruction rebuilds adjacency: refresh the routed sq8 mirror
+        # reconstruction rebuilds adjacency: drop any routed sq8 mirror so
+        # the next search re-quantizes from the new graph
+        self.index._qg = None
         self.index.prop.search_mode = self._search_mode
 
 
@@ -198,7 +203,7 @@ class QG(ANNG):
             np.ascontiguousarray(np.asarray(X, dtype=np.float32)),
             size=n, epsilon=self._epsilon, result_expansion=self._expansion,
         )
-        self.res = list(np.asarray(ids))
+        self.res = [r[r >= 0] for r in np.asarray(ids)]
 
     def done(self) -> None:
         self._qg = None

@@ -68,7 +68,8 @@ def _expansion_list(spec) -> list:
     while v <= end + 1e-9 and len(out) < 1000:
         out.append(round(v, 10))
         if mul:
-            if step <= 1.0:
+            if step <= 1.0 or v <= 0.0:
+                # begin=0 would multiply to 0 forever
                 break
             v *= step
         else:

@@ -89,6 +89,7 @@ def test_expansion_list():
     assert _expansion_list("2:10:4") == [2.0, 6.0, 10.0]
     assert _expansion_list("1:16:x2") == [1.0, 2.0, 4.0, 8.0, 16.0]
     assert _expansion_list("5:1") == [5.0]  # empty range -> begin only
+    assert _expansion_list("0:8:x2") == [0.0]  # begin=0 can't multiply up
 
 
 @pytest.fixture(scope="module")
