@@ -198,21 +198,26 @@ def cmd_remove(args):
     """Remove by the CLI's 1-based ids (the ids `search` prints; reference
     Command.cpp remove loop).  The Index object is zero-based, so convert."""
     idx = ngt_tpu.open_index(args.index)
-    for oid in args.ids:
-        idx.remove(int(oid) - 1)
+    if len(args.ids) > 1:
+        # one reverse scan + one repair pass for the whole set
+        idx.batch_remove([int(oid) - 1 for oid in args.ids])
+    else:
+        for oid in args.ids:
+            idx.remove(int(oid) - 1)
     idx.save()
     return 0
 
 
 def cmd_export(args):
     idx = ngt_tpu.open_index(args.index)
-    with open(args.file, "w") as fh:
+    # binary mode: skips str<->bytes conversion of ~2 GB of text at 1M rows
+    with open(args.file, "wb") as fh:
         idx.export_index(fh)
     return 0
 
 
 def cmd_import(args):
-    with open(args.file) as fh:
+    with open(args.file, "rb") as fh:
         ngt_tpu.Index.import_index(fh, path=args.index)
     return 0
 

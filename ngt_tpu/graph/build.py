@@ -1453,6 +1453,102 @@ def build_anng(
     return mirror
 
 
+def batch_remove_objects(
+    store: VectorStore,
+    graph: GraphStore,
+    oids: np.ndarray,
+    metric: DistanceType,
+) -> np.ndarray:
+    """Delete a SET of objects with batch-wide passes instead of per-id
+    scans (the per-id ``remove_object`` pays one full O(N*E) reverse scan
+    per removal; 10k removals at 1M would be 10k * 80M-element scans).
+
+    Same semantics as the per-id path (the batched analogue of the
+    reference's per-delete ``removeEdgesReliably``, Graph.cpp:641-864):
+
+    1. tombstone all removed nodes (capturing their former neighbors);
+    2. ONE vectorized reverse scan drops every edge into the removed set;
+    3. repair: each removed node's surviving former neighbors are linked to
+       their nearest former co-neighbor (one vmapped pairwise program over
+       all removal groups), keeping each local component attached exactly
+       like the per-id repair does.
+
+    Returns the ids whose adjacency rows changed so the caller can
+    scatter-update the device mirror once."""
+    import jax
+
+    oids = np.unique(np.asarray(oids, np.int64))
+    if len(oids) == 0:
+        return np.zeros((0,), np.int64)
+    n = store._x.shape[0]
+    graph.ensure_capacity(n)
+    cap = graph.capacity
+    gone = np.zeros(cap, bool)
+    gone[oids] = True
+
+    # 1. capture former neighbor lists, then tombstone (one fancy-index
+    #    store per array — not R remove_node calls)
+    formers = graph.nbr_ids[oids].copy()               # [R, E]
+    graph.nbr_ids[oids] = -1
+    graph.nbr_dist[oids] = INF
+    graph.degree[oids] = 0
+    graph._has_node[oids] = False
+
+    # 2. one reverse scan over the whole adjacency
+    rows_i = graph.nbr_ids[:n]
+    hit_rows = np.nonzero(
+        (gone[np.clip(rows_i, 0, cap - 1)] & (rows_i >= 0)).any(axis=1)
+    )[0]
+    graph.remove_edges_to_many(hit_rows, gone)
+
+    for oid in oids:
+        store.remove(int(oid))
+
+    # 3. repair: nearest surviving former co-neighbor within each removal
+    #    group.  One fixed-shape vmapped pairwise per chunk (groups are
+    #    independent, so the batched program IS the per-id loop).
+    fsafe = np.clip(formers, 0, n - 1)
+    alive = (
+        (formers >= 0)
+        & ~gone[np.clip(formers, 0, cap - 1)]
+        & graph._has_node[np.clip(formers, 0, cap - 1)]
+    )                                                   # [R, E]
+    touched = [oids, hit_rows.astype(np.int64)]
+    groups = np.nonzero((alive.sum(axis=1) >= 2))[0]
+    if len(groups):
+        e = formers.shape[1]
+        pair_group = jax.jit(jax.vmap(lambda r: D.pairwise(metric, r, r)))
+        chunk = max(1, min(len(groups), (1 << 22) // max(e * e, 1)))
+        src_all, dst_all, d_all = [], [], []
+        eye = np.eye(e, dtype=bool)
+        for off in range(0, len(groups), chunk):
+            gsel = groups[off : off + chunk]
+            if len(gsel) < chunk:  # pad to the compiled shape
+                gsel = np.concatenate(
+                    [gsel, np.repeat(gsel[-1:], chunk - len(gsel))]
+                )
+            rows = jnp.asarray(store._x[fsafe[gsel]])  # [C, E, D]
+            d = np.array(pair_group(rows))             # [C, E, E] (writable)
+            ok = alive[gsel]
+            d[~ok[:, :, None] | ~ok[:, None, :] | eye[None]] = INF
+            nn = np.argmin(d, axis=2)                  # [C, E]
+            nd = np.take_along_axis(d, nn[:, :, None], axis=2)[:, :, 0]
+            keep = ok & np.isfinite(nd)
+            gi, mi = np.nonzero(keep)
+            src_all.append(formers[gsel[gi], mi])
+            dst_all.append(formers[gsel[gi], nn[gi, mi]])
+            d_all.append(nd[gi, mi])
+        if src_all:
+            src = np.concatenate(src_all).astype(np.int64)
+            dst = np.concatenate(dst_all).astype(np.int32)
+            dd = np.concatenate(d_all).astype(np.float32)
+            graph.add_edges(src, dst, dd)
+            graph.add_edges(dst.astype(np.int64), src.astype(np.int32), dd)
+            touched.append(src)
+            touched.append(dst.astype(np.int64))
+    return np.unique(np.concatenate(touched))
+
+
 def remove_object(
     store: VectorStore, graph: GraphStore, oid: int, metric: DistanceType
 ) -> np.ndarray:

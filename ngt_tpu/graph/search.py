@@ -77,13 +77,33 @@ class SearchResult(NamedTuple):
     iters: jax.Array        # [] int32 — loop iterations executed
 
 
-def _hash_ids(ids: jax.Array, hash_bits: int, exact: bool) -> jax.Array:
-    """Map ids -> [0, 2^hash_bits) slots. Exact (identity) when the id space
-    fits; multiplicative hash otherwise (cf. HashBasedBooleanSet.h:37-41)."""
+def _hash_slots(
+    ids: jax.Array, hash_bits: int, exact: bool
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Map ids -> (word, bit1, bit2) into a [2^hash_bits]-bit table.
+
+    Exact regime (id space fits the table): identity indexing, one bit,
+    bit2 == bit1 — zero false positives, like the reference's plain bitset.
+
+    Lossy regime (ids > 2^hash_bits, the HashBasedBooleanSet.h:25-109
+    analogue): TWO independent bits inside ONE 32-bit word (double-hash
+    Bloom, k=2).  The table only ever holds EXPANDED node ids (~15-60 per
+    query at eps=0), so with v set entries and m table bits the
+    false-visited probability per neighbor test drops from ~v/m
+    (single bit) to ~(2v/m)^2 — e.g. at 2M ids / 2^20 bits / v=256:
+    2.4e-4 -> 2.4e-7 — for the same memory and the same one-word gather.
+    bit2 is forced != bit1 so the rate is genuinely quadratic."""
     u = ids.astype(_U32)
     if exact:
-        return u
-    return (u * _U32(2654435761)) >> _U32(32 - hash_bits)
+        word = (u >> _U32(5)).astype(_I32)
+        bit1 = u & _U32(31)
+        return word, bit1, bit1
+    h1 = (u * _U32(2654435761)) >> _U32(32 - hash_bits)
+    word = (h1 >> _U32(5)).astype(_I32)
+    bit1 = h1 & _U32(31)
+    h2 = (u * _U32(2246822519)) >> _U32(27)   # top 5 bits -> [0, 32)
+    bit2 = (bit1 + _U32(1) + h2 % _U32(31)) & _U32(31)
+    return word, bit1, bit2
 
 
 @functools.partial(
@@ -255,15 +275,15 @@ def graph_search(
         cur_id_safe = jnp.clip(cur_id, 0, n_pad - 1)
 
         # mark expanded (pop from unchecked) + visited bitmap
-        h = _hash_ids(cur_id_safe, hash_bits, exact_hash)
-        word, bit = (h >> _U32(5)).astype(_I32), (h & _U32(31))
+        word, bit1, bit2 = _hash_slots(cur_id_safe, hash_bits, exact_hash)
+        setmask = (_U32(1) << bit1) | (_U32(1) << bit2)
         for j in range(p):
             pool_e = pool_e.at[rowsel, cur_idx[:, j]].set(
                 pool_e[rowsel, cur_idx[:, j]] | sel_ok[:, j]
             )
             oldw = visited[rowsel, word[:, j]]
             visited = visited.at[rowsel, word[:, j]].set(
-                jnp.where(sel_ok[:, j], oldw | (_U32(1) << bit[:, j]), oldw)
+                jnp.where(sel_ok[:, j], oldw | setmask[:, j], oldw)
             )
 
         # gather neighbors of the expanded nodes (first edge_limit edges
@@ -276,10 +296,11 @@ def graph_search(
         nb_safe = jnp.clip(nb, 0, n_pad - 1)
         nb_ok &= jnp.take(valid, nb_safe, axis=0)
 
-        # visited test (distanceChecked, Graph.cpp:597)
-        hn = _hash_ids(nb_safe, hash_bits, exact_hash)
-        wn, bn = (hn >> _U32(5)).astype(_I32), (hn & _U32(31))
-        seen = (jnp.take_along_axis(visited, wn, axis=1) >> bn) & _U32(1)
+        # visited test (distanceChecked, Graph.cpp:597): BOTH bits must be
+        # set (in the exact regime bit2 == bit1, so this is the plain test)
+        wn, nb1, nb2 = _hash_slots(nb_safe, hash_bits, exact_hash)
+        wv = jnp.take_along_axis(visited, wn, axis=1)
+        seen = (wv >> nb1) & (wv >> nb2) & _U32(1)
         nb_ok &= seen == 0
         # pool-membership test (keeps pool duplicate-free; unexpanded pool
         # entries are exactly the reference's unchecked set)

@@ -263,6 +263,25 @@ class GraphStore:
         self.nbr_ids[targets] = np.take_along_axis(rows_i, order, axis=1)
         self.degree[targets] = (self.nbr_ids[targets] >= 0).sum(axis=1)
 
+    def remove_edges_to_many(self, targets: np.ndarray, gone_mask: np.ndarray):
+        """Drop every edge target->g with ``gone_mask[g]`` from the given
+        rows in ONE vectorized pass (the batched unlink behind
+        ``Index.batch_remove``; the per-id path pays one full reverse scan
+        per removal)."""
+        if len(targets) == 0:
+            return
+        targets = np.asarray(targets, dtype=np.int64)
+        targets = targets[(targets >= 0) & (targets < self.capacity)]
+        rows_i = self.nbr_ids[targets]
+        rows_d = self.nbr_dist[targets]
+        hit = gone_mask[np.clip(rows_i, 0, len(gone_mask) - 1)] & (rows_i >= 0)
+        rows_d[hit] = INF
+        rows_i[hit] = -1
+        order = np.argsort(rows_d, axis=1, kind="stable")
+        self.nbr_dist[targets] = np.take_along_axis(rows_d, order, axis=1)
+        self.nbr_ids[targets] = np.take_along_axis(rows_i, order, axis=1)
+        self.degree[targets] = (self.nbr_ids[targets] >= 0).sum(axis=1)
+
     # --------------------------------------------------------- persistence --
     def state_dict(self, n: int) -> dict:
         return {

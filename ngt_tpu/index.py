@@ -14,6 +14,7 @@ int32 matrix, searches batched (``batch_search`` is the TPU-native entry;
 
 from __future__ import annotations
 
+import io
 import json
 import math
 import os
@@ -262,6 +263,34 @@ class Index:
             # the removed object was a seed representative: resample (the
             # reference replaces the removed tree slot with a nearby live
             # object, Index.h:1423-1453)
+            live = np.nonzero(self.store._valid[: self.store.repository_size])[0]
+            if len(live):
+                self.seeder.refresh(
+                    live.astype(np.int32), self.store._x, self.seeder.num_reps
+                )
+            else:
+                self.seeder.rep_ids = np.zeros((0,), np.int32)
+                self.seeder._rep_rows = None
+                self.seeder._rep_ids_dev = None
+
+    def batch_remove(self, external_ids) -> None:
+        """Delete a set of objects with batch-wide passes: one vectorized
+        reverse scan for the whole set, one repair program, one mirror
+        scatter (vs one full O(N*E) scan per id in ``remove``).  Matches the
+        reference's per-delete semantics (removeEdgesReliably,
+        Graph.cpp:641-864) applied to every id."""
+        from ngt_tpu.graph.build import batch_remove_objects
+
+        oids = np.unique([self._int(e) for e in np.asarray(external_ids).ravel()])
+        for oid in oids:
+            if not self.store.contains(int(oid)):
+                raise KeyError(f"no such object id: {oid}")
+        touched = batch_remove_objects(
+            self.store, self.graph, oids, self.store.metric
+        )
+        if self._mirror is not None:
+            self._mirror.update_rows(touched, touched)
+        if self.seeder.num_reps and np.isin(self.seeder.rep_ids, oids).any():
             live = np.nonzero(self.store._valid[: self.store.repository_size])[0]
             if len(live):
                 self.seeder.refresh(
@@ -765,70 +794,166 @@ class Index:
         round-trips obj/grp/tre as text, Index.h:703-715; a vectors-only
         export would silently degrade an ONNG to a rebuilt ANNG on
         import)."""
+        from ngt_tpu import native
+
         n = self.store.repository_size
-        fh.write("# ngt_tpu export v2\n")
-        fh.write(json.dumps(self.prop.to_prf()) + "\n")
-        fh.write(f"# objects {n - 1}\n")
-        for oid in range(1, n):
-            if not self.store._valid[oid]:
-                fh.write("-\n")
+        dim = self.store.dimension
+        # accept text OR binary streams; a 1M export is ~2 GB of text, and
+        # bytes->str decoding alone costs seconds, so prefer 'wb' files
+        binary = not isinstance(fh, io.TextIOBase)
+        ws = (lambda s: fh.write(s.encode("ascii"))) if binary else fh.write
+        wb = fh.write if binary else (lambda b: fh.write(b.decode("ascii")))
+        ws("# ngt_tpu export v2\n")
+        ws(json.dumps(self.prop.to_prf()) + "\n")
+        ws(f"# objects {n - 1}\n")
+        chunk = 65536  # bound native buffer memory, not a format feature
+        use_native = native.available()
+        for off in range(1, n, chunk):
+            hi = min(off + chunk, n)
+            data = (
+                native.format_obj_rows(
+                    self.store._x[off:hi, :dim], self.store._valid[off:hi]
+                )
+                if use_native
+                else None
+            )
+            if data is not None:
+                wb(data)
                 continue
-            v = self.store._x[oid, : self.store.dimension]
-            fh.write("+" + "\t".join(repr(float(t)) for t in v) + "\n")
-        fh.write(f"# graph {n - 1} {self.graph.e_max}\n")
+            for oid in range(off, hi):
+                if not self.store._valid[oid]:
+                    ws("-\n")
+                    continue
+                v = self.store._x[oid, :dim]
+                ws("+" + "\t".join(repr(float(t)) for t in v) + "\n")
+        ws(f"# graph {n - 1} {self.graph.e_max}\n")
         nbr, dist, deg = (
             self.graph.nbr_ids, self.graph.nbr_dist, self.graph.degree,
         )
-        for oid in range(1, n):
-            if not self.graph._has_node[oid]:
-                fh.write("-\n")
-                continue
-            d = int(deg[oid])
-            fh.write(
-                "\t".join(
-                    f"{int(nbr[oid, j])}:{float(dist[oid, j])!r}"
-                    for j in range(d)
+        for off in range(1, n, chunk):
+            hi = min(off + chunk, n)
+            data = (
+                native.format_graph_rows(
+                    nbr[off:hi], dist[off:hi], deg[off:hi],
+                    self.graph._has_node[off:hi],
                 )
-                + "\n"
+                if use_native
+                else None
             )
-        fh.write("# seeds\n")
-        fh.write(" ".join(str(int(r)) for r in self.seeder.rep_ids) + "\n")
+            if data is not None:
+                wb(data)
+                continue
+            for oid in range(off, hi):
+                if not self.graph._has_node[oid]:
+                    ws("-\n")
+                    continue
+                d = int(deg[oid])
+                ws(
+                    "\t".join(
+                        f"{int(nbr[oid, j])}:{float(dist[oid, j])!r}"
+                        for j in range(d)
+                    )
+                    + "\n"
+                )
+        ws("# seeds\n")
+        ws(" ".join(str(int(r)) for r in self.seeder.rep_ids) + "\n")
 
     @classmethod
     def import_index(cls, fh, path: Optional[str] = None) -> "Index":
-        header = fh.readline()
+        # text or binary stream (prefer 'rb' files: a 1M export is ~2 GB of
+        # text and str<->bytes conversion alone costs seconds)
+        binary = isinstance(fh.read(0), bytes)
+        rl = (lambda: fh.readline().decode("ascii")) if binary else fh.readline
+        header = rl()
         if not header.startswith("# ngt_tpu export"):
             raise ValueError("not an ngt_tpu export stream")
         v2 = header.strip().endswith("v2")
-        prop = Property.from_prf(json.loads(fh.readline()))
+        prop = Property.from_prf(json.loads(rl()))
         idx = cls(prop=prop)
         if not v2:
+            if binary:
+                fh = io.TextIOWrapper(fh, encoding="ascii")
             return cls._import_v1(idx, fh, path)
-        line = fh.readline()
+        from ngt_tpu import native
+
+        line = rl()
         assert line.startswith("# objects"), "malformed export: objects"
         n_obj = int(line.split()[2])
-        vecs, holes = [], []
+        dim = idx.store.dimension
+        # fast path: one read, whole-section native parses (a per-line
+        # Python loop costs tens of minutes at 1M rows); the pure-Python
+        # branch below keeps the package working without a toolchain
+        rest = fh.read() if native.available() else None
+        if rest is not None and binary:
+            data, rest = rest, None
+        else:
+            data = rest.encode("ascii") if rest is not None else None
+        parsed = (
+            native.parse_obj_rows(data, n_obj, dim)
+            if data is not None
+            else None
+        )
+        if parsed is not None:
+            xs, vm, off = parsed
+            if vm.any():
+                # occupy every slot so line i <-> internal id i+1, then free
+                # the hole slots (they have no graph rows)
+                idx.store.batch_insert(xs)
+                for h in np.nonzero(~vm)[0]:
+                    idx.store.remove(int(h) + 1)
+            nl = data.index(b"\n", off)
+            gline = data[off:nl].decode("ascii")
+            assert gline.startswith("# graph"), "malformed export: graph"
+            e_max = int(gline.split()[3])
+            gparsed = native.parse_graph_rows(data[nl + 1 :], n_obj, e_max)
+            assert gparsed is not None, "malformed export: graph rows"
+            nb, dd, dg, hs, gused = gparsed
+            g = GraphStore(max_edges=e_max, capacity=max(n_obj + 1, 16))
+            g.nbr_ids[1 : n_obj + 1] = nb
+            g.nbr_dist[1 : n_obj + 1] = dd
+            g.degree[1 : n_obj + 1] = dg
+            g._has_node[1 : n_obj + 1] = hs
+            idx.graph = g
+            idx.graph.ensure_capacity(idx.store._x.shape[0])
+            tail = data[nl + 1 + gused :].decode("ascii").splitlines()
+            if tail and tail[0].startswith("# seeds") and len(tail) > 1:
+                toks = tail[1].split()
+                if toks:
+                    idx.seeder.set_representatives(
+                        np.array([int(t) for t in toks], np.int32),
+                        idx.store._x,
+                    )
+            if path:
+                idx.save(path)
+            return idx
+        xs = np.zeros((n_obj, dim), np.float32)
+        vm = np.zeros((n_obj,), bool)
+        if data is not None:
+            lines = iter(data.decode("ascii").splitlines())
+        elif rest is not None:
+            lines = iter(rest.splitlines())
+        elif binary:
+            lines = (ln.decode("ascii") for ln in fh)
+        else:
+            lines = fh
         for i in range(n_obj):
-            row = fh.readline().rstrip("\n")
+            row = next(lines).rstrip("\n")
             if row.startswith("+"):
-                vecs.append((i, [float(t) for t in row[1:].split("\t")]))
-            else:
-                holes.append(i)
-        if vecs:
-            mat = np.zeros((n_obj, len(vecs[0][1])), np.float32)
-            for i, v in vecs:
-                mat[i] = v
+                vals = [float(t) for t in row[1:].split("\t")]
+                xs[i, : len(vals)] = vals
+                vm[i] = True
+        if vm.any():
             # occupy every slot so line i <-> internal id i+1, then free the
             # hole slots without graph surgery (they have no graph rows)
-            idx.store.batch_insert(mat)
-            for h in holes:
-                idx.store.remove(h + 1)
-        line = fh.readline()
+            idx.store.batch_insert(xs)
+            for h in np.nonzero(~vm)[0]:
+                idx.store.remove(int(h) + 1)
+        line = next(lines)
         assert line.startswith("# graph"), "malformed export: graph"
         e_max = int(line.split()[3])
         g = GraphStore(max_edges=e_max, capacity=max(n_obj + 1, 16))
         for i in range(n_obj):
-            row = fh.readline().rstrip("\n")
+            row = next(lines).rstrip("\n")
             oid = i + 1
             if row == "-":
                 continue
@@ -846,9 +971,9 @@ class Index:
             g._has_node[oid] = True
         idx.graph = g
         idx.graph.ensure_capacity(idx.store._x.shape[0])
-        line = fh.readline()
+        line = next(lines, "")
         if line.startswith("# seeds"):
-            toks = fh.readline().split()
+            toks = next(lines, "").split()
             if toks:
                 idx.seeder.set_representatives(
                     np.array([int(t) for t in toks], np.int32), idx.store._x

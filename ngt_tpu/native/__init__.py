@@ -65,6 +65,32 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int64,
             ]
+            lib.format_obj_rows.restype = ctypes.c_int64
+            lib.format_obj_rows.argtypes = [
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p,
+                ctypes.c_int64,
+            ]
+            lib.format_graph_rows.restype = ctypes.c_int64
+            lib.format_graph_rows.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_char_p,
+                ctypes.c_int64,
+            ]
+            lib.parse_obj_rows.restype = ctypes.c_int64
+            lib.parse_obj_rows.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
+            lib.parse_graph_rows.restype = ctypes.c_int64
+            lib.parse_graph_rows.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
             lib.merge_edges.restype = None
             lib.merge_edges.argtypes = [
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
@@ -287,6 +313,101 @@ def constrained_reverse(
         np.asarray(rid_o, np.int32), np.asarray(src_o, np.int32),
         np.asarray(d_o, np.float32),
     )
+
+
+def format_obj_rows(x: np.ndarray, valid: np.ndarray) -> bytes | None:
+    """Format object rows as the v2 text-export lines ("+v\\tv...\\n" /
+    "-\\n").  Returns None when the native lib is unavailable (caller falls
+    back to the Python loop).  %.9g is lossless for float32."""
+    lib = _load()
+    if lib is None:
+        return None
+    n, d = x.shape
+    x = np.ascontiguousarray(x, np.float32)
+    v = np.ascontiguousarray(valid[:n].view(np.uint8))
+    cap = int(n * (d * 20 + 3) + 16)
+    buf = np.empty(cap, np.uint8)  # not create_string_buffer: no memset
+    m = lib.format_obj_rows(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        v.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.int64(n), np.int64(d),
+        ctypes.cast(buf.ctypes.data, ctypes.c_char_p), np.int64(cap),
+    )
+    if m < 0:
+        return None
+    return buf[:m].tobytes()
+
+
+def format_graph_rows(
+    nbr: np.ndarray, dist: np.ndarray, deg: np.ndarray, has: np.ndarray
+) -> bytes | None:
+    """Format adjacency rows as the v2 text-export lines
+    ("id:dist\\t...\\n" / "-\\n")."""
+    lib = _load()
+    if lib is None:
+        return None
+    n, e = nbr.shape
+    nbr = np.ascontiguousarray(nbr, np.int32)
+    dist = np.ascontiguousarray(dist, np.float32)
+    deg = np.ascontiguousarray(deg[:n], np.int32)
+    has = np.ascontiguousarray(has[:n].view(np.uint8))
+    cap = int(int(np.minimum(deg, e).sum()) * 34 + n * 3 + 16)
+    buf = np.empty(cap, np.uint8)
+    m = lib.format_graph_rows(
+        nbr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dist.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        deg.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        has.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.int64(n), np.int64(e),
+        ctypes.cast(buf.ctypes.data, ctypes.c_char_p), np.int64(cap),
+    )
+    if m < 0:
+        return None
+    return buf[:m].tobytes()
+
+
+def parse_obj_rows(
+    data: bytes, n: int, d: int
+) -> tuple[np.ndarray, np.ndarray, int] | None:
+    """Parse n object-export lines -> (x [n,d] f32, valid [n] bool, bytes
+    consumed); None when the native lib is unavailable or input malformed
+    (caller falls back to the Python parser)."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.empty((n, d), np.float32)  # the parser writes every slot
+    valid = np.empty((n,), np.uint8)
+    used = lib.parse_obj_rows(
+        data, np.int64(len(data)), np.int64(n), np.int64(d),
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if used < 0:
+        return None
+    return x, valid.view(bool), int(used)
+
+
+def parse_graph_rows(
+    data: bytes, n: int, e: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int] | None:
+    """Parse n graph-export lines -> (nbr, dist, deg, has, bytes consumed)."""
+    lib = _load()
+    if lib is None:
+        return None
+    nbr = np.empty((n, e), np.int32)  # the parser writes every slot
+    dist = np.empty((n, e), np.float32)
+    deg = np.empty((n,), np.int32)
+    has = np.empty((n,), np.uint8)
+    used = lib.parse_graph_rows(
+        data, np.int64(len(data)), np.int64(n), np.int64(e),
+        nbr.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dist.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        deg.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        has.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if used < 0:
+        return None
+    return nbr, dist, deg, has.view(bool), int(used)
 
 
 def merge_edges(

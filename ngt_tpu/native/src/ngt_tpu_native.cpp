@@ -310,4 +310,161 @@ int64_t union_pairs(int32_t *labels, int64_t n, const int32_t *a,
   return comps;
 }
 
+// ---- text export/import (the Serializer analogue, Common.h:668-809) ------
+//
+// The lossless v2 text stream (Index::exportIndex twin, Index.h:703-727)
+// spends all its time formatting/parsing floats; Python-level repr()/float()
+// per element is ~100x slower than these single-pass C loops.  %.9g is
+// lossless for binary32 (9 significant digits uniquely identify a float).
+
+// Shortest-exact f32 formatting with an integer fast path (u8/encoded
+// corpora are overwhelmingly small integers; snprintf "%.9g" costs ~430 ns
+// while the digit loop costs ~20 ns).  %.9g is lossless for binary32.
+static inline char *fmt_f32(char *p, float v) {
+  const int64_t iv = static_cast<int64_t>(v);
+  if (v == static_cast<float>(iv) && iv > -16777216 && iv < 16777216) {
+    uint64_t u = iv < 0 ? (*p++ = '-', static_cast<uint64_t>(-iv))
+                        : static_cast<uint64_t>(iv);
+    char tmp[12];
+    int k = 0;
+    do {
+      tmp[k++] = static_cast<char>('0' + u % 10);
+      u /= 10;
+    } while (u);
+    while (k) *p++ = tmp[--k];
+    return p;
+  }
+  return p + snprintf(p, 20, "%.9g", static_cast<double>(v));
+}
+
+// Format `n` object rows: "+v\tv...\n" when valid[i], else "-\n".
+// Returns bytes written, or -1 if `cap` would be exceeded.
+int64_t format_obj_rows(const float *x, const uint8_t *valid, int64_t n,
+                        int64_t d, char *out, int64_t cap) {
+  char *p = out;
+  char *end = out + cap;
+  for (int64_t i = 0; i < n; ++i) {
+    if (end - p < 2 + d * 20) return -1;
+    if (!valid[i]) {
+      *p++ = '-';
+      *p++ = '\n';
+      continue;
+    }
+    *p++ = '+';
+    const float *row = x + i * d;
+    for (int64_t j = 0; j < d; ++j) {
+      if (j) *p++ = '\t';
+      p = fmt_f32(p, row[j]);
+    }
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
+// Format `n` graph rows: "id:dist\tid:dist...\n" for nodes (empty line for
+// degree-0 nodes), "-\n" for non-nodes.  Returns bytes written or -1.
+int64_t format_graph_rows(const int32_t *nbr, const float *dist,
+                          const int32_t *deg, const uint8_t *has, int64_t n,
+                          int64_t e, char *out, int64_t cap) {
+  char *p = out;
+  char *end = out + cap;
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t dg = has[i] ? deg[i] : 0;
+    if (end - p < 2 + dg * 34) return -1;
+    if (!has[i]) {
+      *p++ = '-';
+      *p++ = '\n';
+      continue;
+    }
+    const int32_t *ids = nbr + i * e;
+    const float *ds = dist + i * e;
+    for (int64_t j = 0; j < dg; ++j) {
+      if (j) *p++ = '\t';
+      p += snprintf(p, 13, "%d", ids[j]);
+      *p++ = ':';
+      p = fmt_f32(p, ds[j]);
+    }
+    *p++ = '\n';
+  }
+  return p - out;
+}
+
+// Parse `n` object rows from buf back into x[n*d] / valid[n].
+// Accepts both %.9g and Python-repr floats.  Returns bytes consumed or -1.
+int64_t parse_obj_rows(const char *buf, int64_t len, int64_t n, int64_t d,
+                       float *x, uint8_t *valid) {
+  const char *p = buf;
+  const char *end = buf + len;
+  for (int64_t i = 0; i < n; ++i) {
+    if (p >= end) return -1;
+    if (*p == '-') {
+      valid[i] = 0;
+      for (int64_t j = 0; j < d; ++j) x[i * d + j] = 0.0f;
+      while (p < end && *p != '\n') ++p;
+      ++p;
+      continue;
+    }
+    if (*p != '+') return -1;
+    ++p;
+    valid[i] = 1;
+    float *row = x + i * d;
+    for (int64_t j = 0; j < d; ++j) {
+      char *q;
+      row[j] = strtof(p, &q);
+      if (q == p) return -1;
+      p = q;
+      if (*p == '\t') ++p;
+    }
+    while (p < end && *p != '\n') ++p;
+    ++p;
+  }
+  return p - buf;
+}
+
+// Parse `n` graph rows back into fixed-width adjacency.  Returns bytes
+// consumed or -1.
+int64_t parse_graph_rows(const char *buf, int64_t len, int64_t n, int64_t e,
+                         int32_t *nbr, float *dist, int32_t *deg,
+                         uint8_t *has) {
+  const char *p = buf;
+  const char *end = buf + len;
+  for (int64_t i = 0; i < n; ++i) {
+    int32_t *ids = nbr + i * e;
+    float *ds = dist + i * e;
+    for (int64_t j = 0; j < e; ++j) {
+      ids[j] = -1;
+      ds[j] = __builtin_inff();
+    }
+    if (p >= end) return -1;
+    if (*p == '-' && (p + 1 >= end || p[1] == '\n')) {
+      has[i] = 0;
+      deg[i] = 0;
+      while (p < end && *p != '\n') ++p;
+      ++p;
+      continue;
+    }
+    has[i] = 1;
+    int64_t dg = 0;
+    while (p < end && *p != '\n' && dg < e) {
+      char *q;
+      const long id = strtol(p, &q, 10);
+      if (q == p) break;  // empty line: degree-0 node
+      p = q;
+      if (*p != ':') return -1;
+      ++p;
+      const float dd = strtof(p, &q);
+      if (q == p) return -1;
+      p = q;
+      ids[dg] = static_cast<int32_t>(id);
+      ds[dg] = dd;
+      ++dg;
+      if (*p == '\t') ++p;
+    }
+    deg[i] = static_cast<int32_t>(dg);
+    while (p < end && *p != '\n') ++p;
+    ++p;
+  }
+  return p - buf;
+}
+
 }  // extern "C"

@@ -78,6 +78,33 @@ def test_search_on_exact_knng(rng):
     assert (found != 0).all()
 
 
+def test_lossy_visited_hash_recall(rng):
+    """The >2^20-id regime: ids no longer fit the visited bitmap and the
+    double-hash Bloom path engages (graph/search.py _hash_slots).  Force it
+    on a small index (hash_bits=10 -> 1024 bits for 600 ids) and pin that
+    recall stays within noise of the exact-bitmap run — false "visited"
+    marks are the only possible failure (they skip candidates silently)."""
+    n, dim, k = 600, 32, 10
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    valid = np.ones(n, bool)
+    nbr = make_knng(x, 16, mutual=True)
+    q = rng.normal(size=(50, dim)).astype(np.float32)
+    seeds = rng.integers(0, n, size=(50, 10)).astype(np.int32)
+    kw = dict(metric=DistanceType.L2, k=k, epsilon=0.2, width=64,
+              hash_bits=10)
+    args = (jnp.asarray(x), jnp.asarray(nbr), jnp.asarray(valid),
+            jnp.asarray(q), jnp.asarray(seeds))
+    exact = graph_search(*args, exact_hash=True, **kw)
+    lossy = graph_search(*args, exact_hash=False, **kw)
+    gt_ids, _ = linear_search(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid), DistanceType.L2, k
+    )
+    rec_exact = recall_at_k(np.asarray(exact.ids), np.asarray(gt_ids), k)
+    rec_lossy = recall_at_k(np.asarray(lossy.ids), np.asarray(gt_ids), k)
+    assert rec_exact >= 0.97
+    assert rec_lossy >= rec_exact - 0.01, (rec_lossy, rec_exact)
+
+
 def test_search_stats_and_termination(rng):
     n, dim = 300, 16
     x = rng.normal(size=(n, dim)).astype(np.float32)

@@ -107,6 +107,37 @@ def test_remove_and_reuse(rng):
     assert idx.verify() == []
 
 
+def test_batch_remove(rng):
+    """batch_remove: one reverse scan + one repair pass for the whole set,
+    same observable semantics as per-id remove (tombstones, no removed id in
+    results, graph invariants hold, post-removal recall intact)."""
+    data = rng.normal(size=(500, 16)).astype(np.float32)
+    idx = _build(data)
+    victims = rng.choice(np.arange(500), size=60, replace=False).tolist()
+    idx.batch_remove(victims)
+    assert len(idx) == 440
+    for v in victims[:5]:
+        with pytest.raises(KeyError):
+            idx.get_object(v)
+    assert idx.verify() == []
+    # removed ids never come back; survivors stay findable
+    gone = set(victims)
+    live = np.array([i for i in range(500) if i not in gone])
+    ids, _ = idx.batch_search(data[live[:64]], size=10, epsilon=0.2)
+    found = np.asarray(ids)
+    assert not np.isin(found[found >= 0], victims).any()
+    hit = (found == live[:64][:, None]).any(axis=1)
+    assert hit.mean() >= 0.95  # self-query still lands on itself
+    # double removal raises, like the per-id path
+    with pytest.raises(KeyError):
+        idx.batch_remove(victims[:2])
+    # slots are reusable afterwards
+    nid = idx.insert(rng.normal(size=16).astype(np.float32))
+    assert nid in gone
+    idx.build_index()
+    assert idx.verify() == []
+
+
 def test_save_open_roundtrip(tmp_path, rng):
     data = rng.normal(size=(600, 16)).astype(np.float32)
     path = os.path.join(tmp_path, "idx")
