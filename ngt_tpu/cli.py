@@ -239,6 +239,20 @@ def cmd_reconstruct_graph(args):
     return 0
 
 
+def cmd_reconstruct_anng(args):
+    """Thin an ANNG to a pseudo-ANNG with fewer edges (the reference's
+    reconstructANNGFromANNG, GraphReconstructor.h:717-801)."""
+    from ngt_tpu.graph.reconstruct import reconstruct_anng_from_anng
+
+    idx = ngt_tpu.open_index(args.index)
+    n = idx.store.repository_size
+    idx.graph = reconstruct_anng_from_anng(idx.graph, n, args.edge_size)
+    idx._mirror = None
+    idx._qg = None
+    idx.save(args.out or args.index)
+    return 0
+
+
 def cmd_refine_anng(args):
     from ngt_tpu.graph.reconstruct import refine_anng
 
@@ -763,6 +777,49 @@ def build_parser() -> argparse.ArgumentParser:
     qs.add_argument("index")
     qs.add_argument("query")
     qs.set_defaults(fn=cmd_qsearch)
+
+    # named ngtqg-* aliases mirroring the reference's `ngtqg` binary
+    # (NGTQ/NGTQGCommand.cpp:25-293: create/build(=append)/quantize/search)
+    qgc = sub.add_parser("ngtqg-create",
+                         help="create the ANNG frame for a quantized graph")
+    qgc.add_argument("-d", "--dimension", type=int, required=True)
+    qgc.add_argument("-D", "--distance-type", default="L2")
+    qgc.add_argument("-g", "--graph-type", default="a")
+    qgc.add_argument("-o", "--object-type", default="Float")
+    qgc.add_argument("-E", "--edge-size-for-creation", type=int, default=40)
+    qgc.add_argument("-S", "--edge-size-for-search", type=int, default=0)
+    qgc.add_argument("--no-build", action="store_true")
+    qgc.add_argument("index")
+    qgc.add_argument("data", nargs="?")
+    qgc.set_defaults(fn=cmd_create)
+
+    qgb = sub.add_parser("ngtqg-build",
+                         help="append objects and index them (ngtqg build)")
+    qgb.add_argument("--no-build", action="store_true")
+    qgb.add_argument("index")
+    qgb.add_argument("data")
+    qgb.set_defaults(fn=cmd_append)
+
+    qgq = sub.add_parser("ngtqg-quantize", help="alias of quantize")
+    qgq.add_argument("-Q", "--dimension-of-subvector", type=int, default=2)
+    qgq.add_argument("index")
+    qgq.set_defaults(fn=cmd_quantize)
+
+    qgs = sub.add_parser("ngtqg-search", help="alias of qsearch")
+    qgs.add_argument("-n", "--size", type=int, default=20)
+    qgs.add_argument("-e", "--epsilon", default="0.02")
+    qgs.add_argument("-p", "--result-expansion", default="3.0")
+    qgs.add_argument("index")
+    qgs.add_argument("query")
+    qgs.set_defaults(fn=cmd_qsearch)
+
+    ran = sub.add_parser("reconstruct-anng",
+                         help="thin an ANNG to fewer edges "
+                              "(reconstructANNGFromANNG)")
+    ran.add_argument("-e", "--edge-size", type=int, default=10)
+    ran.add_argument("-o", "--out", default="")
+    ran.add_argument("index")
+    ran.set_defaults(fn=cmd_reconstruct_anng)
 
     nqc = sub.add_parser("ngtq-create",
                          help="create an NGTQ (IVF+PQ) index")

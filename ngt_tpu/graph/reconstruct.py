@@ -152,6 +152,35 @@ def convert_to_anng(graph: GraphStore, n: int, e_max: int | None = None) -> Grap
     return out
 
 
+def reconstruct_anng_from_anng(
+    graph: GraphStore, n: int, edge_size: int, e_max: int | None = None,
+) -> GraphStore:
+    """Thin an ANNG: per node keep the first ``edge_size`` edges whose
+    target id is SMALLER than the node id, added bidirectionally, then
+    sort + dedupe (the reference's pseudo-ANNG thinning,
+    reconstructANNGFromANNG, GraphReconstructor.h:717-801 — rows are
+    distance-ascending so "first" = nearest, and the id<self rule keeps
+    exactly one direction of each mutual pair before mirroring)."""
+    e_max = e_max or graph.e_max
+    nbr = graph.nbr_ids[:n]
+    dist = graph.nbr_dist[:n]
+    src_col = np.arange(n, dtype=np.int64)[:, None]
+    ok = (nbr >= 0) & (nbr < src_col)
+    rank = np.cumsum(ok, axis=1) - 1
+    keep = ok & (rank < edge_size)
+    src = np.repeat(np.arange(n, dtype=np.int64), keep.sum(axis=1))
+    dst = nbr[keep]
+    dd = dist[keep]
+    ps = np.concatenate([src, dst.astype(np.int64)])
+    pt = np.concatenate([dst.astype(np.int32), src.astype(np.int32)])
+    pd = np.concatenate([dd, dd])
+    nbr2, dist2, deg2 = _normalize_rows(ps, pt, pd, n, e_max)
+    out = GraphStore(max_edges=e_max, capacity=max(n, 16))
+    out.nbr_ids[:n], out.nbr_dist[:n], out.degree[:n] = nbr2, dist2, deg2
+    out._has_node[:n] = graph._has_node[:n]
+    return out
+
+
 def reconstruct_graph(
     graph: GraphStore, n: int, out_edges: int, in_edges: int,
     e_max: int | None = None,

@@ -574,6 +574,154 @@ class ShardedIndex:
         return out.astype(np.int64), dists
 
 
+class ShardedQG:
+    """Quantized-graph (sq8) search sharded over the mesh — NGTQG as the
+    production path (reference NGTQ/QuantizedGraph.h:192-320) scaled past
+    one chip.  Motivation: the eps=0 recall ceiling on a single chip is the
+    HBM block budget (eb>=64 blocks OOM a 16 GB chip at 1M, BASELINE.md
+    round-2k); sharded, each device holds n/P block rows, so full-width
+    hops fit at any corpus size.
+
+    Layout mirrors ShardedGraphIndex: per-shard self-contained subgraphs in
+    LOCAL ids; per shard — int8 codes [n_local, D_pad], neighbor blocks
+    [n_local, eb*D_pad] (one contiguous row read scores a whole hop), the
+    f32 rows for the exact re-rank, and seed slots.  The search is ONE SPMD
+    program: local sq8 traversal + local exact re-rank, then an all_gather
+    top-k merge over ICI.  One global sq scale keeps per-shard rankings
+    mutually comparable (a per-shard scale would re-weight distances at the
+    merge)."""
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        x_shards: np.ndarray,        # [P, n_local, D_pad] f32
+        nbr_shards: np.ndarray,      # [P, n_local, E] local ids
+        valid_shards: np.ndarray,    # [P, n_local]
+        seed_ids_local: np.ndarray,  # [P, S] local seed slots
+        metric: DistanceType,
+        block_edges: int = 0,        # 0 = all E columns
+    ):
+        self.mesh = mesh
+        self.metric = DistanceType(metric)
+        p, n_local, d_pad = x_shards.shape
+        e = nbr_shards.shape[2]
+        eb = min(block_edges, e) if block_edges > 0 else e
+        self.n_local = n_local
+        self.eb = eb
+
+        # sq8 codes with ONE global scale (plain angular metrics encode the
+        # normalized rows — quant/qgraph.py _sq8_rows rank-faithfulness)
+        rows = x_shards.reshape(p * n_local, d_pad)
+        if self.metric in (DistanceType.COSINE, DistanceType.ANGLE):
+            nrm = np.linalg.norm(rows, axis=1, keepdims=True)
+            rows = rows / np.maximum(nrm, 1e-30)
+        live = valid_shards.reshape(-1)
+        scale = float(np.abs(rows[live]).max()) / 127.0 if live.any() else 1.0
+        self.sq_scale = scale or 1.0
+        codes = np.zeros((p * n_local, d_pad), np.int8)
+        codes[live] = np.clip(
+            np.round(rows[live] / self.sq_scale), -127, 127
+        ).astype(np.int8)
+        codes = codes.reshape(p, n_local, d_pad)
+
+        # per-shard neighbor blocks from LOCAL codes (subgraphs are
+        # self-contained, so the gather never crosses shards)
+        blocks = np.zeros((p, n_local, eb * d_pad), np.int8)
+        for s in range(p):
+            safe = np.clip(nbr_shards[s, :, :eb], 0, n_local - 1)
+            blk = codes[s][safe]                      # [n_local, eb, D]
+            blk[nbr_shards[s, :, :eb] < 0] = 0
+            blocks[s] = blk.reshape(n_local, -1)
+
+        row_sh = NamedSharding(mesh, P(AXIS, None))
+        flat = lambda a: a.reshape(p * n_local, *a.shape[2:])
+        self.x = jax.device_put(flat(x_shards), row_sh)
+        self.codes = jax.device_put(flat(codes), row_sh)
+        self.blocks = jax.device_put(flat(blocks), row_sh)
+        self.nbr = jax.device_put(
+            np.ascontiguousarray(flat(nbr_shards)[:, :eb]), row_sh
+        )
+        self.valid = jax.device_put(
+            flat(valid_shards), NamedSharding(mesh, P(AXIS))
+        )
+        seeds = np.asarray(seed_ids_local, np.int32)
+        if seeds.ndim == 1:
+            seeds = np.broadcast_to(seeds[None, :], (p, seeds.shape[0]))
+        self.seed_ids_local = jax.device_put(
+            np.ascontiguousarray(seeds), NamedSharding(mesh, P(AXIS, None))
+        )
+
+    @classmethod
+    def from_sharded_index(
+        cls, sharded: "ShardedIndex", block_edges: int = 0
+    ) -> "ShardedQG":
+        """Quantize an existing ShardedIndex (single-process convenience:
+        pulls each addressable shard to host once)."""
+        s = sharded._sharded
+        p = s.mesh.devices.size
+        unflat = lambda a: np.asarray(a).reshape(p, s.n_local, *a.shape[1:])
+        return cls(
+            s.mesh, unflat(s.x), unflat(s.nbr), unflat(s.valid),
+            np.asarray(s.seed_ids_local), s.metric, block_edges=block_edges,
+        )
+
+    def search(
+        self, queries: jax.Array, k: int = 10, epsilon: float = 0.0,
+        result_expansion: float = 3.0, width: int = 0,
+    ) -> tuple[jax.Array, jax.Array]:
+        k_exp = max(int(np.ceil(k * max(result_expansion, 1.0))), k)
+        fn = _sharded_qg_search(
+            self.mesh, self.metric, k, k_exp, float(epsilon),
+            width if width > 0 else max(64, 2 * k_exp), self.n_local,
+        )
+        return fn(
+            self.blocks, self.nbr, self.valid, self.codes, self.x,
+            queries, self.seed_ids_local, jnp.float32(self.sq_scale),
+        )
+
+
+@functools.lru_cache(maxsize=None)
+def _sharded_qg_search(mesh, metric, k, k_exp, epsilon, width, n_local):
+    from ngt_tpu.quant.qgraph import _rerank_body
+
+    def local(blocks, nbr, valid, codes, x, q, seeds, sq_scale):
+        b = q.shape[0]
+        qdv = q.astype(jnp.float32)
+        if metric in (DistanceType.COSINE, DistanceType.ANGLE):
+            qn = jnp.sqrt(jnp.sum(qdv * qdv, axis=1, keepdims=True))
+            qdv = qdv / jnp.maximum(qn, 1e-30)
+        seed_b = jnp.broadcast_to(
+            seeds.reshape(-1)[None, :], (b, seeds.shape[-1])
+        )
+        res = graph_search(
+            blocks, nbr, valid, qdv / sq_scale, seed_b,
+            metric=DistanceType.L2, k=k_exp, k_radius=k, epsilon=epsilon,
+            width=width,
+            hash_bits=max(int(np.ceil(np.log2(max(n_local, 2)))), 10),
+            exact_hash=True, block_mode=True, seed_x=codes,
+        )
+        # local exact re-rank with the true metric, then merge over ICI
+        ids1, d1 = _rerank_body(x, q, res.ids, res.ids >= 0, metric, k)
+        my = jax.lax.axis_index(AXIS)
+        gids = jnp.where(ids1 >= 0, ids1 + my * n_local, -1)
+        all_d = jax.lax.all_gather(d1, AXIS, axis=1).reshape(b, -1)
+        all_i = jax.lax.all_gather(gids, AXIS, axis=1).reshape(b, -1)
+        neg, sel = jax.lax.top_k(-all_d, k)
+        out_i = jnp.take_along_axis(all_i, sel, axis=1)
+        out_i = jnp.where(jnp.isfinite(-neg), out_i, -1)
+        return out_i, -neg
+
+    smapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS, None),
+                  P(AXIS, None), P(), P(AXIS, None), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
 def build_local_knng_shards(
     x_s: np.ndarray, val_s: np.ndarray, e: int, metric: DistanceType
 ) -> np.ndarray:

@@ -173,6 +173,29 @@ def test_cli_reconstruct_and_quantize(cli_index, capsys):
     assert out.count("# Result expansion=") == 3 * 3  # 3 queries x 3 values
 
 
+def test_cli_ngtqg_aliases_and_reconstruct_anng(tmp_path, capsys):
+    """The ngtqg-* named command surface (NGTQGCommand.cpp:25-293) and the
+    reconstruct-anng thinning pass (GraphReconstructor.h:717-801)."""
+    data = np.random.default_rng(9).normal(size=(300, 12)).astype(np.float32)
+    dpath = os.path.join(tmp_path, "d.tsv")
+    np.savetxt(dpath, data, delimiter="\t", fmt="%.6f")
+    qpath = os.path.join(tmp_path, "q.tsv")
+    np.savetxt(qpath, data[:2] + 0.01, delimiter="\t", fmt="%.6f")
+    ipath = os.path.join(tmp_path, "qgidx")
+    assert cli_main(["ngtqg-create", "-d", "12", "-E", "16", ipath]) == 0
+    assert cli_main(["ngtqg-build", ipath, dpath]) == 0
+    assert cli_main(["ngtqg-quantize", ipath]) == 0
+    assert cli_main(["ngtqg-search", "-n", "3", ipath, qpath]) == 0
+    out = capsys.readouterr().out
+    assert "Query No.1" in out
+    # thin the ANNG and verify searches still work
+    assert cli_main(["reconstruct-anng", "-e", "4", ipath]) == 0
+    reopened = ngt_tpu.open_index(ipath)
+    assert reopened.graph.degree[1:301].max() > 0
+    ids, _ = reopened.batch_search(data[:4], size=3, epsilon=0.2)
+    assert (np.asarray(ids)[:, 0] == np.arange(4)).all()
+
+
 def test_cli_remove_and_repair(cli_index, capsys):
     ipath, _, data = cli_index
     rc = cli_main(["remove", ipath, "5"])

@@ -47,6 +47,38 @@ def test_convert_to_anng_adds_reverse_edges(rng):
         assert (np.diff(rd) >= -1e-6).all()
 
 
+def test_reconstruct_anng_from_anng(rng):
+    """Thin-edges pseudo-ANNG (reference GraphReconstructor.h:717-801):
+    per node keep the first e edges with target id < node id, mirrored,
+    deduped, distance-sorted."""
+    from ngt_tpu.graph.reconstruct import reconstruct_anng_from_anng
+
+    x = rng.normal(size=(150, 8)).astype(np.float32)
+    g, d = _knng_store(x, 8)
+    e = 3
+    out = reconstruct_anng_from_anng(g, len(x), e)
+    # oracle: recompute expected undirected edge set
+    want = set()
+    for u in range(len(x)):
+        cnt = 0
+        for v in g.nbr_ids[u, : g.degree[u]]:
+            if v < u:
+                want.add((u, int(v)))
+                cnt += 1
+                if cnt >= e:
+                    break
+    got = set()
+    for u in range(len(x)):
+        row = out.nbr_ids[u, : out.degree[u]]
+        # sorted ascending by distance, no dups
+        dd = out.nbr_dist[u, : out.degree[u]]
+        assert (np.diff(dd) >= -1e-7).all()
+        assert len(set(row.tolist())) == len(row)
+        for v in row:
+            got.add((max(u, int(v)), min(u, int(v))))
+    assert got == want
+
+
 def test_reconstruct_graph_degrees(rng):
     x = rng.normal(size=(200, 12)).astype(np.float32)
     g, d = _knng_store(x, 12)

@@ -9,6 +9,7 @@ import pytest
 
 from ngt_tpu.parallel.sharding import (
     ShardedGraphIndex,
+    ShardedQG,
     build_local_knng_shards,
     make_mesh,
     make_sharded_build_step,
@@ -231,6 +232,80 @@ def test_sharded_index_end_to_end():
     # self-query: nearest is the object itself
     ids2, _ = sidx.batch_search(data[:4], size=1, epsilon=0.2)
     assert (ids2[:, 0] == np.arange(4)).all()
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_qg_parity_and_recall():
+    """ShardedQG: the SPMD sq8 block search must return EXACTLY what the
+    same per-shard single-device traversal + exact re-rank + host top-k
+    merge returns (this pins the shard_map plumbing: local-id blocks,
+    global-id mapping, all_gather merge), and recall must track the exact
+    sharded path."""
+    from ngt_tpu.graph.search import graph_search
+    from ngt_tpu.parallel.sharding import AXIS, ShardedIndex
+    from ngt_tpu.quant.qgraph import _rerank_body
+
+    rng = np.random.default_rng(21)
+    data = rng.normal(size=(1600, 24)).astype(np.float32)
+    queries = rng.normal(size=(16, 24)).astype(np.float32)
+    mesh = make_mesh(8)
+    sidx = ShardedIndex.build(data, mesh=mesh, metric=DistanceType.L2)
+    qg = ShardedQG.from_sharded_index(sidx)
+
+    from ngt_tpu.ops.bruteforce import pad_dim
+
+    d_pad = pad_dim(queries.shape[1])
+    qq = np.zeros((len(queries), d_pad), np.float32)
+    qq[:, : queries.shape[1]] = queries
+    k, k_exp, eps, width = 10, 30, 0.1, 64
+    ids, dists = qg.search(
+        jnp.asarray(qq), k=k, epsilon=eps, result_expansion=3.0, width=width
+    )
+    ids, dists = np.asarray(ids), np.asarray(dists)
+
+    # host reference: same per-shard inputs, single-device kernel, host merge
+    p, nl = 8, qg.n_local
+    blocks = np.asarray(qg.blocks).reshape(p, nl, -1)
+    nbr = np.asarray(qg.nbr).reshape(p, nl, -1)
+    valid = np.asarray(qg.valid).reshape(p, nl)
+    codes = np.asarray(qg.codes).reshape(p, nl, -1)
+    xs = np.asarray(qg.x).reshape(p, nl, -1)
+    seeds = np.asarray(qg.seed_ids_local)
+    ref_i = []
+    ref_d = []
+    for s in range(p):
+        seed_b = np.broadcast_to(seeds[s][None, :], (len(qq), seeds.shape[1]))
+        res = graph_search(
+            jnp.asarray(blocks[s]), jnp.asarray(nbr[s]),
+            jnp.asarray(valid[s]), jnp.asarray(qq / qg.sq_scale),
+            jnp.asarray(seed_b), metric=DistanceType.L2, k=k_exp,
+            k_radius=k, epsilon=eps, width=width,
+            hash_bits=max(int(np.ceil(np.log2(nl))), 10), exact_hash=True,
+            block_mode=True, seed_x=jnp.asarray(codes[s]),
+        )
+        i1, d1 = _rerank_body(
+            jnp.asarray(xs[s]), jnp.asarray(qq), res.ids, res.ids >= 0,
+            DistanceType.L2, k,
+        )
+        i1 = np.asarray(i1)
+        ref_i.append(np.where(i1 >= 0, i1 + s * nl, -1))
+        ref_d.append(np.asarray(d1))
+    all_i = np.concatenate(ref_i, axis=1)
+    all_d = np.concatenate(ref_d, axis=1)
+    order = np.argsort(all_d, axis=1, kind="stable")[:, :k]
+    want_i = np.take_along_axis(all_i, order, axis=1)
+    want_d = np.take_along_axis(all_d, order, axis=1)
+    np.testing.assert_allclose(dists, want_d, rtol=1e-5)
+    same = (ids == want_i) | ~np.isfinite(want_d)
+    assert same.mean() > 0.99  # ties may reorder ids at equal distance
+
+    # recall vs brute force through the id map
+    ext = np.where(ids >= 0, sidx.id_map[np.clip(ids, 0, None)], -1)
+    full = np.linalg.norm(queries[:, None, :] - data[None, :, :], axis=-1)
+    gt = np.argsort(full, axis=1)[:, :k]
+    hits = sum(len(set(a.tolist()) & set(b.tolist()))
+               for a, b in zip(ext, gt))
+    assert hits / (len(queries) * k) >= 0.9
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
