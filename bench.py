@@ -120,70 +120,6 @@ def main():
     except Exception as exc:  # pragma: no cover
         print(f"# qg bench skipped: {exc}", file=sys.stderr)
 
-    # angular-metric arm (the glove-100-angular axis of the baseline; the
-    # real corpus is not fetchable here, so a deterministic 100k low-rank
-    # Gaussian on the 100-sphere stands in — smooth angular structure with
-    # glove-like correlated directions; stderr info only, not the headline)
-    try:
-        rng2 = np.random.default_rng(3)
-        rank, n_ang, nq_ang = 25, 100_000, 512
-        A = rng2.normal(size=(rank, 100)).astype(np.float32)
-        ang = (
-            rng2.normal(size=(n_ang, rank)).astype(np.float32) @ A
-            + rng2.normal(size=(n_ang, 100)).astype(np.float32) * 0.3
-        )
-        aq = (
-            rng2.normal(size=(nq_ang, rank)).astype(np.float32) @ A
-            + rng2.normal(size=(nq_ang, 100)).astype(np.float32) * 0.3
-        )
-        aidx = ngt_tpu.create(
-            None, dimension=100, distance_type="Cosine",
-            edge_size_for_creation=40,
-        )
-        t0 = time.time()
-        aidx.batch_insert(ang, build=True)
-        ab = time.time() - t0
-        agt, _ = aidx.batch_linear_search(aq, size=10)
-        for eps in (0.02, 0.05, 0.1):
-            ids, dt = timed(
-                lambda e=eps: aidx.batch_search(aq, size=10, epsilon=e)
-            )
-            arec = recall_at_k(np.asarray(ids), np.asarray(agt), 10)
-            print(
-                f"# angular100k(auto) eps={eps} recall@10={arec:.4f} "
-                f"qps={len(aq)/dt:.0f} build={ab:.1f}s",
-                file=sys.stderr,
-            )
-        # the reference's published glove curves come from the ONNG recipe
-        # (create -E 40 -> reconstruct-graph -o 10 -i 120,
-        # bin/ngt/README.md:329-338).  Measured here (BASELINE.md round-2e):
-        # from this engine's exact-KNNG bulk build the reconstruction only
-        # pays above the ~0.985 recall floor (it REMOVES exact edges), so
-        # the arm is opt-in — the recipe's win case is a weak ANNG start.
-        if os.environ.get("NGT_TPU_BENCH_ANGULAR_ONNG", "0") == "1":
-            from ngt_tpu.optimizer import GraphOptimizer
-
-            t0 = time.time()
-            GraphOptimizer(
-                out_edges=10, in_edges=120, tune_parameters=False
-            ).execute(aidx)
-            print(
-                f"# angular100k onng reconstruct={time.time()-t0:.1f}s",
-                file=sys.stderr,
-            )
-            for eps in (0.02, 0.05, 0.1):
-                ids, dt = timed(
-                    lambda e=eps: aidx.batch_search(aq, size=10, epsilon=e)
-                )
-                arec = recall_at_k(np.asarray(ids), np.asarray(agt), 10)
-                print(
-                    f"# angular100k-onng(auto) eps={eps} recall@10={arec:.4f} "
-                    f"qps={len(aq)/dt:.0f}",
-                    file=sys.stderr,
-                )
-    except Exception as exc:  # pragma: no cover
-        print(f"# angular bench skipped: {exc}", file=sys.stderr)
-
     # ---- 1M north-star curve (BASELINE.md: sift-128-euclidean at 1M) ----
     # Deterministic corpus: the bundled 5k SIFT tiled 200x with sigma=12
     # noise (seed 0); exact GT computed on device and cached.  Baseline:
@@ -198,17 +134,32 @@ def main():
         except Exception as exc:  # pragma: no cover
             print(f"# 1M bench failed: {exc}", file=sys.stderr)
 
+    # angular 1M arm: the glove-100-angular axis of the north star
+    # (glove_proxy is the credible stand-in — effective rank ~74,
+    # heavy-tailed anisotropic clusters, varied norms, exact device GT).
+    # Runs AFTER the sift arm; each 1M arm frees its device blocks so the
+    # two never hold HBM together.
+    ang = None
+    if os.environ.get("NGT_TPU_BENCH_ANGULAR", "1") != "0":
+        try:
+            ang = bench_1m_angular(timed)
+        except Exception as exc:  # pragma: no cover
+            print(f"# 1M angular bench failed: {exc}", file=sys.stderr)
+
     if m1 is not None:
-        print(
-            json.dumps(
-                {
-                    "metric": "sift1m_qps_at_recall95_k10",
-                    "value": round(m1, 1),
-                    "unit": "qps",
-                    "vs_baseline": round(m1 / 1987.0, 3),
-                }
-            )
-        )
+        out = {
+            "metric": "sift1m_qps_at_recall95_k10",
+            "value": round(m1, 1),
+            "unit": "qps",
+            "vs_baseline": round(m1 / 1987.0, 3),
+        }
+        if ang is not None:
+            # the second north-star axis, embedded so the single JSON line
+            # the driver records carries both (glove-100-angular analogue)
+            aqps, arec = ang
+            out["angular1m_qps_at_recall95_k10"] = round(aqps, 1)
+            out["angular1m_recall"] = round(arec, 4)
+        print(json.dumps(out))
         return
 
     if best is None:
@@ -226,6 +177,138 @@ def main():
             }
         )
     )
+
+
+def release_index(idx):
+    """Free a 1M index's device arrays (quantized blocks are 4-6 GiB; two
+    1M bench arms must never hold HBM together on the shared 16 GB chip)."""
+    import gc
+
+    qg = getattr(idx, "_qg", None)
+    if qg is not None and getattr(qg, "_blocks_dev", None) is not None:
+        qg._blocks_dev.delete()
+        qg._blocks_dev = None
+    idx._qg = None
+    idx._mirror = None
+    gc.collect()
+
+
+def glove_proxy(n, d=100, seed=3, kc=4096):
+    """Deterministic glove-100-shaped angular corpus (the real
+    glove-100-angular is not fetchable in this environment).  Shape targets
+    measured from embedding corpora: power-law global spectrum with
+    effective rank ~74 (well past the round-2 proxy's 25, whose tie
+    degeneracy dominated every measurement), Zipf(1.05) heavy-tailed
+    cluster sizes, per-cluster log-normal anisotropy, log-normal row norms
+    (stored UN-normalized to exercise the angular normalization paths).
+    Returns float32 [n, d]."""
+    rng = np.random.default_rng(seed)
+    V = np.linalg.qr(rng.normal(size=(d, d)))[0].astype(np.float32)
+    s = np.arange(1, d + 1, dtype=np.float32) ** -0.1
+    w = np.arange(1, kc + 1, dtype=np.float64) ** -1.05
+    w /= w.sum()
+    sizes = rng.multinomial(n, w)
+    centers = (rng.normal(size=(kc, d)).astype(np.float32) * (0.8 * s)) @ V.T
+    out = np.empty((n, d), np.float32)
+    off = 0
+    for c in range(kc):
+        m = sizes[c]
+        if m == 0:
+            continue
+        local = s * rng.lognormal(0.0, 0.15, size=d).astype(np.float32)
+        local *= rng.uniform(0.9, 1.2)
+        out[off : off + m] = (
+            centers[c]
+            + (rng.normal(size=(m, d)).astype(np.float32) * local) @ V.T
+        )
+        off += m
+    out *= rng.lognormal(0.0, 0.35, size=(n, 1)).astype(np.float32)
+    return out[rng.permutation(n)]
+
+
+def bench_1m_angular(timed):
+    """1M angular (glove-100 axis): recall-constrained curve on the
+    glove_proxy corpus, Cosine metric, exact device GT.  Returns
+    (best qps at recall@10 >= 0.95, its recall) or None."""
+    import ngt_tpu
+    from ngt_tpu.ops.bruteforce import recall_at_k
+
+    cache = os.path.expanduser("~/.cache/ngt_tpu_bench")
+    os.makedirs(cache, exist_ok=True)
+    n, n_q = 1_000_000, 8192
+    corpus_f = os.path.join(cache, "glove1m_proxy_v1.npy")
+    if os.path.exists(corpus_f):
+        data = np.ascontiguousarray(np.load(corpus_f, mmap_mode="r"))
+    else:
+        t0 = time.time()
+        data = glove_proxy(n)
+        np.save(corpus_f, data)
+        print(f"# glove-proxy gen {time.time()-t0:.1f}s", file=sys.stderr)
+    g = np.random.default_rng(11)
+    qi = g.choice(n, n_q, replace=False)
+    queries = data[qi] + g.normal(
+        size=(n_q, data.shape[1])
+    ).astype(np.float32) * (0.35 * np.abs(data[qi]).mean())
+
+    t0 = time.time()
+    idx = ngt_tpu.create(
+        None, dimension=data.shape[1], distance_type="Cosine",
+        edge_size_for_creation=40,
+    )
+    idx.batch_insert(data, build=True)
+    print(f"# 1M angular build={time.time()-t0:.1f}s", file=sys.stderr)
+
+    gt_f = os.path.join(cache, f"glove1m_proxy_v1_gt10_q{n_q}.npy")
+    if os.path.exists(gt_f):
+        gt_ids = np.load(gt_f)
+    else:
+        gt_ids, _ = idx.batch_linear_search(queries, size=10)
+        gt_ids = np.asarray(gt_ids)
+        np.save(gt_f, gt_ids)
+
+    best = None
+    for eps in (0.0, 0.02, 0.05, 0.1, 0.15):
+        ids, dt = timed(
+            lambda e=eps: idx.batch_search(queries, size=10, epsilon=e)
+        )
+        rec = recall_at_k(np.asarray(ids), gt_ids, 10)
+        qps = n_q / dt
+        print(
+            f"# 1M angular(auto) eps={eps} recall@10={rec:.4f} qps={qps:.0f}",
+            file=sys.stderr,
+        )
+        if rec >= 0.95 and (best is None or qps > best[0]):
+            best = (qps, rec)
+    # the reference's published glove curves come from the ONNG recipe
+    # (create -E 40 -> reconstruct-graph -o 10 -i 120); from this engine's
+    # exact-KNNG start it pays only near the top of the curve and costs
+    # ~800 s at 1M, so the arm is opt-in
+    if os.environ.get("NGT_TPU_BENCH_ANGULAR_ONNG", "0") == "1":
+        from ngt_tpu.optimizer import GraphOptimizer
+
+        t0 = time.time()
+        GraphOptimizer(
+            out_edges=10, in_edges=120, tune_parameters=False
+        ).execute(idx)
+        print(
+            f"# 1M angular onng reconstruct={time.time()-t0:.1f}s",
+            file=sys.stderr,
+        )
+        for eps in (0.05, 0.1, 0.15):
+            ids, dt = timed(
+                lambda e=eps: idx.batch_search(queries, size=10, epsilon=e)
+            )
+            rec = recall_at_k(np.asarray(ids), gt_ids, 10)
+            qps = n_q / dt
+            print(
+                f"# 1M angular-onng(auto) eps={eps} recall@10={rec:.4f} "
+                f"qps={qps:.0f}",
+                file=sys.stderr,
+            )
+            if rec >= 0.95 and (best is None or qps > best[0]):
+                best = (qps, rec)
+    release_index(idx)
+    return best
 
 
 def bench_1m(base5k, timed, rng):
@@ -283,7 +366,7 @@ def bench_1m(base5k, timed, rng):
     best = None
     # exact traversal curve (opt out of routing for this arm)
     idx.prop.search_mode = "exact"
-    for eps in (0.0, 0.02, 0.05, 0.1):
+    for eps in (0.0, 0.02):
         ids, dt = timed(
             lambda e=eps: idx.batch_search(queries, size=10, epsilon=e)
         )
@@ -295,22 +378,27 @@ def bench_1m(base5k, timed, rng):
         )
         if rec >= 0.95 and (best is None or qps > best):
             best = qps
-    # production path: auto-routed sq8 neighbor blocks (the sub-0.02 arms
-    # matter: recall at eps=0.02 is already ~0.98, so the best qps at the
-    # 0.95 recall floor usually sits below it)
+    # production path: auto-routed sq8 neighbor blocks.  refine = the
+    # edge-tail refinement stage (round 3: refine=32 at eps=0 measured
+    # 0.9963 @ 20.9k qps; refine=0 0.9818 @ 24.2k — the >=0.99 tier now
+    # runs at >10x the reference's 1,987-qps op point)
     idx.prop.search_mode = "auto"
-    for eps in (0.0, 0.01, 0.02, 0.05, 0.1):
-        ids, dt = timed(
-            lambda e=eps: idx.batch_search(queries, size=10, epsilon=e)
-        )
-        rec = recall_at_k(np.asarray(ids), gt_ids, 10)
-        qps = n_q / dt
-        print(
-            f"# 1M qg-sq8(auto) eps={eps} recall@10={rec:.4f} qps={qps:.0f}",
-            file=sys.stderr,
-        )
-        if rec >= 0.95 and (best is None or qps > best):
-            best = qps
+    for refine, eps_list in ((32, (0.0, 0.005, 0.01)), (0, (0.0, 0.01))):
+        idx.prop.search_refine = refine
+        for eps in eps_list:
+            ids, dt = timed(
+                lambda e=eps: idx.batch_search(queries, size=10, epsilon=e)
+            )
+            rec = recall_at_k(np.asarray(ids), gt_ids, 10)
+            qps = n_q / dt
+            print(
+                f"# 1M qg-sq8(auto) refine={refine} eps={eps} "
+                f"recall@10={rec:.4f} qps={qps:.0f}",
+                file=sys.stderr,
+            )
+            if rec >= 0.95 and (best is None or qps > best):
+                best = qps
+    idx.prop.search_refine = 32
 
     if os.environ.get("NGT_TPU_BENCH_ONNG", "0") == "1":
         from ngt_tpu.optimizer import GraphOptimizer
@@ -337,6 +425,7 @@ def bench_1m(base5k, timed, rng):
                 )
                 if rec >= 0.95 and (best is None or qps > best):
                     best = qps
+    release_index(idx)
     return best
 
 

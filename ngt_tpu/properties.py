@@ -152,6 +152,13 @@ class Property:
     #: candidates expanded per search step (1 = exact reference best-first
     #: order; >1 = fewer sequential steps, more distance computations)
     search_expand: int = 1
+    #: quantized-graph edge-tail refinement: sq8-score the adjacency tail
+    #: (columns the HBM-budgeted neighbor blocks can't hold) of the exact
+    #: top-k and keep the best `search_refine` for the final re-rank;
+    #: 0 = off.  Loop-free; measured at 1M it lifts eps=0 recall@10 from
+    #: ~0.968 toward the 0.998 tail-candidate ceiling (quant/qgraph.py
+    #: _tail_refine_body)
+    search_refine: int = 32
     #: insertion-search backend: "auto"/"exact" = f32 row gathers (the
     #: reference's semantics exactly); "sq8" = int8 neighbor blocks + exact
     #: re-rank (opt-in: block maintenance outweighs the traversal savings on
@@ -216,6 +223,7 @@ class Property:
         "SeedCentroids": ("seed_centroids", int),
         "DeviceBatchSize": ("device_batch_size", int),
         "SearchExpand": ("search_expand", int),
+        "SearchRefine": ("search_refine", int),
         "BuildMode": ("build_mode", str),
         "BuildAlgorithm": ("build_algorithm", str),
         "BulkAppendThreshold": ("bulk_append_threshold", int),
