@@ -304,6 +304,20 @@ class Index:
     def get_object(self, external_id: int) -> np.ndarray:
         return self.store.get(self._int(external_id))
 
+    def get_edges(self, external_id: int) -> list[tuple[int, float]]:
+        """Sorted (neighbor id, distance) edges of one graph node — the
+        analogue of ngt_get_edges (reference Capi.cpp GraphNode accessor);
+        ids use this index's id base (1-based unless ``zero_based``)."""
+        oid = self._int(external_id)
+        if not self.graph.has_node(oid):
+            raise KeyError(f"no graph node for id {external_id}")
+        ids, dists = self.graph.get_node(oid)
+        return [
+            (int(self._ext(int(i))), float(d))
+            for i, d in zip(ids, dists)
+            if i >= 0
+        ]
+
     def make_sparse_object(self, ids) -> np.ndarray:
         """Pack a feature-id set for a Sparse-Jaccard index (the analogue of
         Index::makeSparseObject, reference Index.cpp:303-320)."""
