@@ -184,14 +184,23 @@ def test_search_mode_auto_routing(rng):
     assert rec2 >= 0.9
 
 
-def test_sq8_fused_matches_eager(rng, monkeypatch):
-    """The fused sq8 program (seed select + traversal + rerank in ONE device
-    program) must return the same results as the eager route it replaced —
-    NGT_TPU_QG_NO_FUSE=1 forces the eager path for the A/B."""
+@pytest.fixture(scope="module")
+def fused_setup():
+    """ONE 1500x24 routed index shared by the fused-dispatch tests (they
+    are search-only A/Bs; per-test builds were half the file's wall time)."""
+    rng = np.random.default_rng(42)
     data = rng.normal(size=(1500, 24)).astype(np.float32)
     queries = rng.normal(size=(32, 24)).astype(np.float32)
     idx = ngt_tpu.create(None, dimension=24, search_mode="qg")
     idx.batch_insert(data, build=True)
+    return idx, data, queries
+
+
+def test_sq8_fused_matches_eager(fused_setup, monkeypatch):
+    """The fused sq8 program (seed select + traversal + rerank in ONE device
+    program) must return the same results as the eager route it replaced —
+    NGT_TPU_QG_NO_FUSE=1 forces the eager path for the A/B."""
+    idx, data, queries = fused_setup
     ids_f, d_f = idx.batch_search(queries, size=10, epsilon=0.1)
     monkeypatch.setenv("NGT_TPU_QG_NO_FUSE", "1")
     ids_e, d_e = idx.batch_search(queries, size=10, epsilon=0.1)
@@ -199,16 +208,13 @@ def test_sq8_fused_matches_eager(rng, monkeypatch):
     assert (np.asarray(ids_f) == np.asarray(ids_e)).mean() > 0.99  # ties only
 
 
-def test_sq8_fused_flake_falls_back_to_eager(rng, monkeypatch):
+def test_sq8_fused_flake_falls_back_to_eager(fused_setup, monkeypatch):
     """A JaxRuntimeError from the fused dispatch (the rare axon runtime
     flake) must not fail the search: batch_search redoes the batch on the
     eager path and returns its results."""
     from ngt_tpu.quant import qgraph as QG
 
-    data = rng.normal(size=(1500, 24)).astype(np.float32)
-    queries = rng.normal(size=(32, 24)).astype(np.float32)
-    idx = ngt_tpu.create(None, dimension=24, search_mode="qg")
-    idx.batch_insert(data, build=True)
+    idx, data, queries = fused_setup
     ids_f, d_f = idx.batch_search(queries, size=10, epsilon=0.1)
 
     calls = {"n": 0}
@@ -285,13 +291,12 @@ def test_auto_route_oom_falls_back_to_exact(rng, monkeypatch):
     assert idx._maybe_qg() is qg
 
 
-def test_sq8_fused_chunked_matches_unchunked(rng, monkeypatch):
+def test_sq8_fused_chunked_matches_unchunked(fused_setup, monkeypatch):
     """Chunked dispatch (upload/compute pipelining) must return exactly the
     whole-batch results — including the row-padded final chunk."""
-    data = rng.normal(size=(1500, 24)).astype(np.float32)
+    idx, data, _ = fused_setup
+    rng = np.random.default_rng(7)
     queries = rng.normal(size=(100, 24)).astype(np.float32)  # 3 chunks + pad
-    idx = ngt_tpu.create(None, dimension=24, search_mode="qg")
-    idx.batch_insert(data, build=True)
     ids_u, d_u = idx.batch_search(queries, size=10, epsilon=0.1)
     monkeypatch.setenv("NGT_TPU_QG_CHUNK", "48")
     ids_c, d_c = idx.batch_search(queries, size=10, epsilon=0.1)
@@ -299,14 +304,11 @@ def test_sq8_fused_chunked_matches_unchunked(rng, monkeypatch):
     assert (np.asarray(ids_c) == np.asarray(ids_u)).mean() > 0.99
 
 
-def test_sq8_fused_q16_upload(rng, monkeypatch):
+def test_sq8_fused_q16_upload(fused_setup, monkeypatch):
     """NGT_TPU_QG_Q16=1 ships queries as f16 over the link; the fused
     program widens back to f32 before any contraction, so results must
     stay within f16-rounding of the f32 upload (recall-equivalent)."""
-    data = rng.normal(size=(1500, 24)).astype(np.float32)
-    queries = rng.normal(size=(32, 24)).astype(np.float32)
-    idx = ngt_tpu.create(None, dimension=24, search_mode="qg")
-    idx.batch_insert(data, build=True)
+    idx, data, queries = fused_setup
     gt_ids, _ = idx.batch_linear_search(queries, size=10)
     ids_f, d_f = idx.batch_search(queries, size=10, epsilon=0.1)
     monkeypatch.setenv("NGT_TPU_QG_Q16", "1")
@@ -600,7 +602,7 @@ def test_ivfpq_dimension_check():
         ivf.batch_insert(np.zeros((5, 7), np.float32))
 
 
-def _lowrank_angular(n=12000, d=48, n_q=128, rank=12, seed=3):
+def _lowrank_angular(n=6000, d=48, n_q=96, rank=12, seed=3):
     rng = np.random.default_rng(seed)
     A = rng.normal(size=(rank, d)).astype(np.float32)
     x = (rng.normal(size=(n, rank)).astype(np.float32) @ A
@@ -617,7 +619,7 @@ def test_angular_bulk_build_metric_distances(metric):
     on unit rows (graph/build.py _l2_to_metric)."""
     import ngt_tpu
 
-    x, q = _lowrank_angular(n=4000)
+    x, q = _lowrank_angular(n=2000)
     idx = ngt_tpu.create(None, dimension=x.shape[1], distance_type=metric,
                          edge_size_for_creation=20)
     idx.batch_insert(x, build=True)
@@ -635,14 +637,13 @@ def test_angular_bulk_build_metric_distances(metric):
         assert abs(true - dv) < 1e-3
 
 
-@pytest.mark.parametrize("mode", ["sq8", "pq4"])
-def test_angular_quantized_routing_rank_faithful(mode):
-    """sq8/pq4 traversal on plain Cosine encodes ROW-NORMALIZED vectors
-    (qgraph._sq8_rows) so the scaled-L2 / LUT ranking matches the angular
-    ranking — recall must be in the same band as the exact traversal."""
+@pytest.fixture(scope="module")
+def angular_setup():
+    """ONE 12k cosine index + exact-traversal baseline shared by the sq8
+    and pq4 rank-faithfulness params (the build dominated the file's wall
+    time when each param rebuilt it)."""
     import ngt_tpu
     from ngt_tpu.ops.bruteforce import recall_at_k
-    from ngt_tpu.quant.qgraph import QuantizedGraphIndex
 
     x, q = _lowrank_angular()
     idx = ngt_tpu.create(None, dimension=x.shape[1], distance_type="Cosine",
@@ -652,8 +653,20 @@ def test_angular_quantized_routing_rank_faithful(mode):
     idx.prop.search_mode = "exact"
     ids_e, _ = idx.batch_search(q, size=10, epsilon=0.1)
     rec_e = recall_at_k(np.asarray(ids_e), np.asarray(gt), 10)
+    return idx, q, np.asarray(gt), rec_e
+
+
+@pytest.mark.parametrize("mode", ["sq8", "pq4"])
+def test_angular_quantized_routing_rank_faithful(angular_setup, mode):
+    """sq8/pq4 traversal on plain Cosine encodes ROW-NORMALIZED vectors
+    (qgraph._sq8_rows) so the scaled-L2 / LUT ranking matches the angular
+    ranking — recall must be in the same band as the exact traversal."""
+    from ngt_tpu.ops.bruteforce import recall_at_k
+    from ngt_tpu.quant.qgraph import QuantizedGraphIndex
+
+    idx, q, gt, rec_e = angular_setup
     qg = QuantizedGraphIndex.quantize(idx, mode=mode)
     ids_q, _ = qg.batch_search(q, size=10, epsilon=0.1, result_expansion=3.0)
-    rec_q = recall_at_k(np.asarray(ids_q), np.asarray(gt), 10)
+    rec_q = recall_at_k(np.asarray(ids_q), gt, 10)
     assert rec_q >= rec_e - 0.05, (rec_e, rec_q)
     assert rec_q >= 0.85
