@@ -469,6 +469,10 @@ class Index:
                         "sq8 mirror does not fit in free device HBM; "
                         "serving on the exact path (retry in 60s)"
                     )
+                    # drop the mirror's device tensors NOW: the chip is out
+                    # of HBM and the exact path still needs room for its
+                    # query upload and search scratch
+                    qg.release_device()
                     self._qg_cooldown_until = _time.monotonic() + 60.0
         mirror = self._ensure_mirror()
         qdtype = np.int64 if self.store.sparse else np.float32

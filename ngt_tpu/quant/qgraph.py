@@ -274,6 +274,29 @@ class QuantizedGraphIndex:
             self._codes_dev = jnp.asarray(self.codes)
         return self._codes_dev
 
+    def release_device(self) -> None:
+        """Free every device buffer this mirror holds (codes, neighbor
+        blocks, adjacency slice).  Called when the auto-route falls back to
+        the exact path after a device OOM: the chip is multi-tenant and
+        already out of HBM at that point, so keeping hundreds of MB of
+        now-unused sq8 tensors alive can starve even the tiny query upload
+        the exact path needs next.  Host state is untouched — the mirror
+        rebuilds its device arrays on the next successful route."""
+        mirror = getattr(self.index, "_mirror", None)
+        mirror_nbr = getattr(mirror, "nbr", None)
+        for attr in ("_codes_dev", "_blocks_dev", "_nbr_eb"):
+            buf = getattr(self, attr, None)
+            if buf is not None:
+                # never delete a buffer the exact-path mirror still owns
+                # (a full-width adjacency slice can alias mirror.nbr)
+                if buf is not mirror_nbr:
+                    try:
+                        buf.delete()
+                    except Exception:
+                        pass
+                setattr(self, attr, None)
+        self._blocks_for = None
+
     def _effective_block_edges(self) -> int:
         if self.block_edges > 0:
             return min(self.block_edges, self.index.graph.e_max)

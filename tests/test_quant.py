@@ -273,6 +273,9 @@ def test_auto_route_oom_falls_back_to_exact(rng, monkeypatch):
     idx = ngt_tpu.create(None, dimension=24, search_mode="qg")
     idx.batch_insert(data, build=True)
     qg = idx._maybe_qg()
+    # populate the mirror's device tensors with one successful routed search
+    idx.batch_search(queries[:4], size=5, epsilon=0.1)
+    assert qg._codes_dev is not None
 
     def boom(*a, **k):
         raise jax.errors.JaxRuntimeError(
@@ -281,6 +284,9 @@ def test_auto_route_oom_falls_back_to_exact(rng, monkeypatch):
 
     monkeypatch.setattr(qg, "batch_search", boom)
     ids, _ = idx.batch_search(queries, size=10, epsilon=0.1)
+    # the fallback must have freed the mirror's device buffers — the chip
+    # is out of HBM at that point and the exact path needs the room
+    assert qg._codes_dev is None and qg._blocks_dev is None
     idx.prop.search_mode = "exact"
     ids_e, _ = idx.batch_search(queries, size=10, epsilon=0.1)
     np.testing.assert_array_equal(np.asarray(ids), np.asarray(ids_e))
