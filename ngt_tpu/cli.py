@@ -148,6 +148,7 @@ def cmd_search(args):
                     edge_size=args.edge_size,
                     expected_accuracy=args.accuracy if args.accuracy > 0 else -1.0,
                     with_stats=True,
+                    ef=getattr(args, "ef", 0),
                 )
                 lo = 0 if idx.zero_based else 1
                 results = [
@@ -678,6 +679,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("-i", "--index-type", choices="tgs", default="t")
     s.add_argument("-o", "--output-mode", default="-")
     s.add_argument("-a", "--accuracy", type=float, default=0.0)
+    s.add_argument("--ef", type=int, default=0,
+                   help="exploration rank (radius from the ef-th best pool "
+                        "entry; rank-based widening, 0 = off)")
     s.add_argument("-Q", "--query-size", type=int, default=0)
     s.add_argument("index")
     s.add_argument("query")

@@ -384,6 +384,32 @@ class Index:
             return None
         if n == 0:
             return None
+        if mode != "qg" and self._qg is None:
+            # proactive fit check: past ~3M rows (at 128 dims) even the
+            # 16-edge block-width FLOOR exceeds the HBM budget — the eb
+            # formula's max(16, budget) would ship blocks far over budget
+            # and thrash the OOM-shrink retry loop before falling back.
+            # NGT_TPU_QG_MAX_GB caps the floor-width block bytes the auto
+            # route may attempt; explicit search_mode="qg" (or ShardedQG
+            # over a mesh, the intended path at this scale) still forces it.
+            import os as _os
+
+            cap = self.store._x.shape[0]
+            d_pad = self.store.d_pad
+            floor_bytes = cap * 16 * d_pad + cap * d_pad   # blocks + codes
+            max_gb = float(_os.environ.get("NGT_TPU_QG_MAX_GB", "9"))
+            if floor_bytes > max_gb * (1 << 30):
+                from ngt_tpu.utils import logger
+
+                if not getattr(self, "_qg_size_warned", False):
+                    self._qg_size_warned = True
+                    logger.warning(
+                        "sq8 mirror skipped: %d-row blocks need %.1f GiB "
+                        "even at the width floor (> NGT_TPU_QG_MAX_GB=%g); "
+                        "use ShardedQG or search_mode='qg' to force",
+                        cap, floor_bytes / (1 << 30), max_gb,
+                    )
+                return None
         if self._qg is None:
             from ngt_tpu.quant.qgraph import QuantizedGraphIndex
 
@@ -418,11 +444,14 @@ class Index:
         expand: int = 0,
         expected_accuracy: float = -1.0,
         with_stats: bool = False,
+        ef: int = 0,
     ):
         """TPU-native batched k-NN. queries: [B, dim] host or device array.
         Returns (ids [B, k] external, dists [B, k]); -1 id = empty slot.
         ``expected_accuracy`` > 0 maps to ε via the accuracy table
-        (reference Index.h:1156-1158)."""
+        (reference Index.h:1156-1158).  ``ef`` > size drives the radius
+        rule from the ef-th best pool distance (properties.search_ef;
+        rank-based widening — the adaptive alternative to epsilon)."""
         if expected_accuracy > 0:
             from ngt_tpu.optimizer import AccuracyTable
 
@@ -454,6 +483,7 @@ class Index:
                     return qg.batch_search(
                         queries, size=size, epsilon=epsilon,
                         result_expansion=self.prop.result_expansion,
+                        ef=ef,
                     )
                 except _jax.errors.JaxRuntimeError as exc:
                     # the wrapper already shrank its neighbor blocks to the
@@ -489,6 +519,11 @@ class Index:
         rep_rows, rep_sq = self.seeder._rep_rows, self.seeder._rep_sq
         if mirror.sqnorm is None:
             rep_sq = None
+        # exploration rank: pool size kk = ef keeps the frontier alive until
+        # the ef-th best stops improving; the first `size` rows are returned
+        if ef <= 0:
+            ef = max(int(self.prop.search_ef), 0)
+        kk = min(max(int(size), ef), 4 * int(size) + 64) if ef > 0 else int(size)
         res = seeded_search(
             mirror.x,
             mirror.nbr,
@@ -504,16 +539,16 @@ class Index:
             jnp.float32(radius),
             jnp.int32(e),
             metric=self.store.metric,
-            k=int(size),
+            k=kk,
             s=int(self.prop.seed_size),
-            width=width if width > 0 else self._auto_width(size, epsilon),
+            width=width if width > 0 else self._auto_width(kk, epsilon),
             max_iters=0,
             hash_bits=bits,
             exact_hash=exact,
             expand=expand if expand > 0 else max(self.prop.search_expand, 1),
         )
-        ids = self._ext(np.asarray(res.ids)[:b])
-        dists = np.asarray(res.dists)[:b]
+        ids = self._ext(np.asarray(res.ids)[:b, : int(size)])
+        dists = np.asarray(res.dists)[:b, : int(size)]
         if with_stats:
             return ids, dists, {
                 "visit_count": np.asarray(res.visit_count)[:b],

@@ -186,6 +186,14 @@ class Property:
     #: result-expansion factor for the routed sq8 search (the reference's
     #: resultExpansion default 3.0, bin/ngtqg/README.md:62-69)
     result_expansion: float = 3.0
+    #: exploration rank (HNSW-ef analogue, a TPU extension): drive the
+    #: traversal's radius-shrink rule from the `search_ef`-th best pool
+    #: distance instead of the k-th (reference Graph.cpp:609-616 always uses
+    #: k).  Rank-based widening admits "the next few best" adaptively,
+    #: where epsilon widens multiplicatively — on corpora whose distances
+    #: concentrate (angular) a tiny epsilon already floods admission, so
+    #: this is the finer recall/qps lever.  0 = off (radius rank = k)
+    search_ef: int = 0
 
     # -- NGT prf key mapping (reference Index.h:105-190, Graph.h:423-489) --
     _PRF_KEYS = {
@@ -224,6 +232,7 @@ class Property:
         "DeviceBatchSize": ("device_batch_size", int),
         "SearchExpand": ("search_expand", int),
         "SearchRefine": ("search_refine", int),
+        "SearchEf": ("search_ef", int),
         "BuildMode": ("build_mode", str),
         "BuildAlgorithm": ("build_algorithm", str),
         "BulkAppendThreshold": ("bulk_append_threshold", int),

@@ -110,13 +110,14 @@ _tail_refine = functools.partial(
     jax.jit,
     static_argnames=(
         "metric", "k", "k_exp", "s", "width", "hash_bits", "exact_hash",
-        "expand", "normalize_q", "refine", "eb",
+        "expand", "normalize_q", "refine", "eb", "kr",
     ),
 )
 def _sq8_fused_search(
     blocks, nbr_eb, valid, codes, x, rep_rows, rep_sq, rep_ids, q,
     sq_scale, epsilon, edge_limit, nbr_full=None, *, metric, k, k_exp, s,
     width, hash_bits, exact_hash, expand, normalize_q, refine=0, eb=0,
+    kr=0,
 ):
     """Seed selection + sq8 block traversal + exact re-rank as ONE device
     program.  The un-fused wrapper paid 3+ dispatches per batch over the
@@ -139,7 +140,7 @@ def _sq8_fused_search(
         qdv = qdv / jnp.maximum(qn, 1e-30)
     res = graph_search(
         blocks, nbr_eb, valid, qdv / sq_scale, seeds,
-        metric=DistanceType.L2, k=k_exp, k_radius=k,
+        metric=DistanceType.L2, k=k_exp, k_radius=kr if kr > 0 else k,
         epsilon=epsilon, width=width, edge_size=edge_limit,
         hash_bits=hash_bits, exact_hash=exact_hash, expand=expand,
         scorer=None, block_mode=True, seed_x=codes,
@@ -378,6 +379,11 @@ class QuantizedGraphIndex:
                            # index's search_expand property (beam >1 trades
                            # distance computations for fewer sequential
                            # steps, like the exact path)
+        ef: int = 0,       # exploration rank (properties.search_ef); 0 =
+                           # the index property.  Drives the radius-shrink
+                           # rule from the ef-th best pool distance instead
+                           # of the size-th — rank-based widening, the
+                           # adaptive alternative to epsilon
     ):
         """Approximate traversal over PQ scores + exact re-rank.
         Defaults mirror the reference (ε=0.02, expansion=3.0;
@@ -385,6 +391,9 @@ class QuantizedGraphIndex:
         idx = self.index
         mirror = idx._ensure_mirror()
         k_exp = max(int(math.ceil(size * max(result_expansion, 1.0))), size)
+        if ef <= 0:
+            ef = max(int(idx.prop.search_ef), 0)
+        kr = min(max(int(size), ef), k_exp) if ef > 0 else int(size)
         if idx.seeder.num_reps == 0 and idx.graph.node_count() > 0:
             live = np.nonzero(idx.graph._has_node)[0].astype(np.int32)
             idx.seeder.refresh(live, idx.store._x, default_reps(len(live)))
@@ -403,7 +412,8 @@ class QuantizedGraphIndex:
             while True:
                 try:
                     return self._batch_search_fused(
-                        qh, size, k_exp, epsilon, edge_size, width, expand
+                        qh, size, k_exp, epsilon, edge_size, width, expand,
+                        kr,
                     )
                 except jax.errors.JaxRuntimeError as exc:
                     msg = str(exc)
@@ -475,7 +485,7 @@ class QuantizedGraphIndex:
             seeds,
             metric=DistanceType.L2,
             k=k_exp,
-            k_radius=int(size),
+            k_radius=int(kr),
             epsilon=float(epsilon),
             width=width if width > 0 else max(64, 2 * k_exp),
             edge_size=int(e),
@@ -505,7 +515,7 @@ class QuantizedGraphIndex:
         return idx._ext(ids[:b0]), dists[:b0]
 
     def _batch_search_fused(
-        self, qh, size, k_exp, epsilon, edge_size, width, expand
+        self, qh, size, k_exp, epsilon, edge_size, width, expand, kr=0
     ):
         """sq8 fast path: the batch runs as CHUNKED dispatches of one fused
         device program (_sq8_fused_search) instead of eager seed ops +
@@ -537,6 +547,7 @@ class QuantizedGraphIndex:
             (DistanceType.COSINE, DistanceType.ANGLE),
             refine=max(int(idx.prop.search_refine), 0),
             eb=int(eb),
+            kr=int(kr),
         )
         b0 = qh.shape[0]
         chunk = int(os.environ.get("NGT_TPU_QG_CHUNK", "2048"))

@@ -171,3 +171,71 @@ def test_duplicate_seeds_ok(rng):
     for row in ids:
         live = row[row >= 0]
         assert len(live) == len(set(live.tolist()))
+
+
+def test_exploration_rank_ef(rng):
+    """search_ef (rank-based radius widening, the HNSW-ef analogue — a TPU
+    extension, see properties.search_ef): driving the radius-shrink rule
+    from the ef-th best pool distance explores strictly more than the k-th
+    (admission/termination both compare against a larger radius), so on a
+    deliberately WEAK graph recall must improve monotonically with ef."""
+    n, dim, k = 1500, 24, 10
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    valid = np.ones(n, bool)
+    nbr = make_knng(x, 5)            # directed, narrow: weak by design
+    q = rng.normal(size=(64, dim)).astype(np.float32)
+    seeds = rng.integers(0, n, size=(64, 4)).astype(np.int32)
+    gt_ids, _ = linear_search(
+        jnp.asarray(q), jnp.asarray(x), jnp.asarray(valid), DistanceType.L2, k
+    )
+    args = (jnp.asarray(x), jnp.asarray(nbr), jnp.asarray(valid),
+            jnp.asarray(q), jnp.asarray(seeds))
+    recs = []
+    for ef in (k, 24, 48):
+        res = graph_search(
+            *args, metric=DistanceType.L2, k=ef, epsilon=0.0, width=64,
+            hash_bits=11, exact_hash=True,
+        )
+        recs.append(
+            recall_at_k(np.asarray(res.ids)[:, :k], np.asarray(gt_ids), k)
+        )
+    assert recs[1] >= recs[0] and recs[2] >= recs[1], recs
+    assert recs[2] > recs[0], recs   # widening must actually buy recall here
+
+
+def test_index_search_ef_paths(rng):
+    """ef wiring through BOTH production wrappers: Index.batch_search's
+    exact path (k widened to ef, sliced back to size) and the routed sq8
+    quantized-graph path (k_radius lifted toward k_exp)."""
+    import ngt_tpu
+    from ngt_tpu.quant.qgraph import QuantizedGraphIndex
+
+    n, dim, k = 1200, 24, 10
+    x = rng.normal(size=(n, dim)).astype(np.float32)
+    q = rng.normal(size=(32, dim)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=dim, edge_size_for_creation=5)
+    idx.prop.max_edges = 8           # keep the bulk build's rows narrow/weak
+    idx.batch_insert(x, build=True)
+    gt_ids, _ = idx.batch_linear_search(q, size=k)
+    gt_ids = np.asarray(gt_ids)
+
+    base_ids, base_d = idx.batch_search(q, size=k, epsilon=0.0)
+    ef_ids, ef_d = idx.batch_search(q, size=k, epsilon=0.0, ef=40)
+    assert ef_ids.shape == (32, k) and ef_d.shape == (32, k)
+    r0 = recall_at_k(np.asarray(base_ids), gt_ids, k)
+    r1 = recall_at_k(np.asarray(ef_ids), gt_ids, k)
+    assert r1 >= r0, (r0, r1)
+
+    # property route (search_ef) must match the per-call kwarg
+    idx.prop.search_ef = 40
+    prop_ids, _ = idx.batch_search(q, size=k, epsilon=0.0)
+    np.testing.assert_array_equal(np.asarray(prop_ids), np.asarray(ef_ids))
+    idx.prop.search_ef = 0
+
+    qg = QuantizedGraphIndex.quantize(idx, mode="sq8")
+    q0, _ = qg.batch_search(q, size=k, epsilon=0.0, result_expansion=6.0)
+    q1, _ = qg.batch_search(q, size=k, epsilon=0.0, result_expansion=6.0,
+                            ef=40)
+    rq0 = recall_at_k(np.asarray(q0), gt_ids, k)
+    rq1 = recall_at_k(np.asarray(q1), gt_ids, k)
+    assert rq1 >= rq0, (rq0, rq1)
