@@ -294,6 +294,24 @@ def bench_1m_angular(timed):
         )
         if rec >= 0.95 and (best is None or qps > best[0]):
             best = (qps, rec)
+    # exploration-rank ladder (search_ef): rank-based radius widening
+    # strictly dominates the eps ladder on angular through the 0.96-0.99
+    # tier (BASELINE.md round 3f) — epsilon's multiplicative widening is
+    # too coarse where distances concentrate
+    for ef in (12, 16, 22, 33):
+        ids, dt = timed(
+            lambda f=ef: idx.batch_search(queries, size=11, epsilon=0.0,
+                                          ef=f)
+        )
+        rec = recall_at_k(strip_self(np.asarray(ids)), gt_ids, 10)
+        qps = n_q / dt
+        print(
+            f"# 1M angular(auto) ef={ef} eps=0 recall@10={rec:.4f} "
+            f"qps={qps:.0f}",
+            file=sys.stderr,
+        )
+        if rec >= 0.95 and (best is None or qps > best[0]):
+            best = (qps, rec)
     # No ONNG sub-arm: on the rank-74 proxy the ONNG(10/120) reconstruction
     # (1,023 s at 1M) measured recall-IDENTICAL to the bulk ANNG at every
     # eps (BASELINE.md round-3c) — the exact-KNNG bulk start already gives
@@ -390,6 +408,22 @@ def bench_1m(base5k, timed, rng):
             if rec >= 0.95 and (best is None or qps > best):
                 best = qps
     idx.prop.search_refine = 32
+    # exploration-rank rows (search_ef, BASELINE.md round 3f): on SIFT a
+    # slightly better ladder than eps at the >=0.998 tier
+    for ef in (14, 18):
+        ids, dt = timed(
+            lambda f=ef: idx.batch_search(queries, size=10, epsilon=0.0,
+                                          ef=f)
+        )
+        rec = recall_at_k(np.asarray(ids), gt_ids, 10)
+        qps = n_q / dt
+        print(
+            f"# 1M qg-sq8(auto) ef={ef} eps=0 recall@10={rec:.4f} "
+            f"qps={qps:.0f}",
+            file=sys.stderr,
+        )
+        if rec >= 0.95 and (best is None or qps > best):
+            best = qps
 
     if os.environ.get("NGT_TPU_BENCH_ONNG", "0") == "1":
         from ngt_tpu.optimizer import GraphOptimizer

@@ -180,9 +180,13 @@ class Property:
     #: reference, NGTQ/QuantizedGraph.h:192-320); "exact" = always traverse
     #: f32 rows; "qg" = always route (when the metric allows)
     search_mode: str = "auto"
-    #: minimum indexed objects before "auto" builds the sq8 mirror (small
-    #: indexes gain little and pay the block HBM)
-    search_qg_threshold: int = 50_000
+    #: minimum indexed objects before "auto" builds the sq8 mirror.  The
+    #: round-3e re-sweep (BASELINE.md; post fused/chunked dispatch +
+    #: edge-tail refinement) measured the routed path strictly dominating
+    #: exact — higher recall AND higher qps — at every size down to the 5k
+    #: measurement floor, so only genuinely tiny indexes (where the
+    #: quantize cost can't amortize) stay exact
+    search_qg_threshold: int = 5_000
     #: result-expansion factor for the routed sq8 search (the reference's
     #: resultExpansion default 3.0, bin/ngtqg/README.md:62-69)
     result_expansion: float = 3.0

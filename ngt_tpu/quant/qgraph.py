@@ -522,7 +522,10 @@ class QuantizedGraphIndex:
         traversal + rerank.  Chunking pipelines the ~100 MB/s tunnel: chunk
         i+1's query upload overlaps chunk i's compute, and all result
         downloads are deferred to one device_get.  Measured at 1M/batch 8192:
-        20.5k qps unchunked -> 26.4k at chunk=2048 (BASELINE.md round 2f)."""
+        20.5k qps unchunked -> 26.4k at chunk=2048 (BASELINE.md round 2f)
+        -> 45.9k at chunk=512 (round 3g: the dispatch queue stays deeper
+        with finer grains; 128 is too fine — per-dispatch overhead wins —
+        so 512 is the measured knee on both the SIFT and angular arms)."""
         idx = self.index
         mirror = idx._ensure_mirror()
         from ngt_tpu.graph.build import _bucket
@@ -550,7 +553,7 @@ class QuantizedGraphIndex:
             kr=int(kr),
         )
         b0 = qh.shape[0]
-        chunk = int(os.environ.get("NGT_TPU_QG_CHUNK", "2048"))
+        chunk = int(os.environ.get("NGT_TPU_QG_CHUNK", "512"))
         if b0 <= chunk:
             # single dispatch, pow2-bucketed like the eager path
             bounds = [(0, b0, _bucket(b0))]
