@@ -167,7 +167,8 @@ def _rerank_gather(qd, x, ids, *, size, metric):
 
 @jax.jit
 def _assign_chunk(xc, cents):
-    return jnp.argmin(D.pairwise(DistanceType.L2, xc, cents), axis=1)
+    d = D.pairwise(DistanceType.L2, xc, cents)
+    return jnp.argmin(d, axis=1), jnp.min(d, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
@@ -199,6 +200,7 @@ class IVFPQIndex:
         rebuild_factor: float = 2.0,
         train_sample: int = 262_144,
         device_refine_max_bytes: int = 4 << 30,
+        centroid_mode: str = "dynamic",   # "dynamic" | "static"
     ):
         self.dimension = dimension
         self.metric = DistanceType(metric)
@@ -213,6 +215,17 @@ class IVFPQIndex:
         self.train_sample = int(train_sample)
         self.device_refine_max_bytes = int(device_refine_max_bytes)
         self.centroids: np.ndarray | None = None
+        #: reference CentroidCreationModeDynamic (Quantizer.h:174-205): an
+        #: insert whose nearest coarse centroid lies beyond ``global_range``
+        #: CREATES a centroid instead of degrading into a far bucket
+        #: (insert-time growth, Quantizer.h:1895-1959).  "static" freezes
+        #: the trained set (rebuild() remains the recovery path).
+        self.centroid_mode = centroid_mode
+        #: gating radius, learned at build(): the 99.9th percentile of the
+        #: training population's own assignment distances (the reference
+        #: takes globalRange as a user parameter; deriving it keeps the
+        #: stationary-distribution false-creation rate ~0.1%)
+        self.global_range = 0.0
         self._raw = None                       # ndarray | memmap | None
         self._pending: list[np.ndarray] = []   # inserted, not yet encoded
         self._assign = np.zeros((0,), np.int32)
@@ -365,6 +378,59 @@ class IVFPQIndex:
             return self._pending[0]
         return np.concatenate(self._pending, axis=0)
 
+    def _grow_centroids(self, x, dist: np.ndarray) -> bool:
+        """Insert-time coarse-centroid creation (the reference's default
+        CentroidCreationModeDynamic, Quantizer.h:174-205, insert growth
+        :1895-1959): rows whose nearest centroid lies beyond global_range
+        seed new centroids, greedily (farthest-first) so the new set is
+        mutually > global_range apart.  PQ codebooks stay frozen — new
+        buckets reuse the residual codebooks, exactly like the reference's
+        shared local codebook.  Returns True when centroids were added."""
+        out_mask = dist > self.global_range
+        if not out_mask.any():
+            return False
+        xo_all = np.asarray(x[out_mask], np.float32)
+        xo = xo_all
+        d_rem = dist[out_mask].copy()
+        new: list[np.ndarray] = []
+        # safety valve: one flush may at most double the centroid count
+        # (a pathological batch must not mint one bucket per row)
+        cap = max(len(self.centroids), 1024)
+        # seeds are POINTS, and same-cluster point-to-point distances run
+        # sqrt(2)x the point-to-mean distances global_range was learned
+        # from — dedup at 1.5x so one new cluster mints ONE seed, not a
+        # fragment per sample (fragmented buckets gut nprobe recall)
+        dedup = 1.5 * self.global_range
+        while len(xo) and len(new) < cap:
+            j = int(np.argmax(d_rem))
+            c0 = xo[j]
+            new.append(c0)
+            dd = np.linalg.norm(xo - c0[None, :], axis=1)
+            keep = dd > dedup
+            xo, d_rem = xo[keep], np.minimum(d_rem[keep], dd[keep])
+        cents = np.stack(new).astype(np.float32)
+        # Lloyd-refine the seeds into means of the outlier population they
+        # will own (a point seed sits on its cluster's shell; its mean sits
+        # at the center, halving the radius the next flush must cover).
+        # Subsample: the [outliers, new] distance matrix must stay host-sized.
+        if len(xo_all) * len(cents) > (1 << 26):
+            sel = np.random.default_rng(0).choice(
+                len(xo_all), (1 << 26) // max(len(cents), 1), replace=False
+            )
+            xo_all = xo_all[np.sort(sel)]
+        for _ in range(3):
+            dd = np.linalg.norm(
+                xo_all[:, None, :] - cents[None, :, :], axis=2
+            )
+            a = np.argmin(dd, axis=1)
+            for j in range(len(cents)):
+                m = a == j
+                if m.any():
+                    cents[j] = xo_all[m].mean(axis=0)
+        self.centroids = np.concatenate([self.centroids, cents], axis=0)
+        self._dev = None
+        return True
+
     def _flush_pending(self) -> None:
         """Assign + encode every pending batch against the current
         codebooks and grow the inverted lists."""
@@ -372,7 +438,14 @@ class IVFPQIndex:
         if len(x) == 0:
             self._pending = []
             return
-        assign = self._assign_to_centroids(x)
+        if self.centroid_mode == "dynamic" and self.global_range > 0.0:
+            assign, dist = self._assign_to_centroids(x, return_dist=True)
+            if self._grow_centroids(x, dist):
+                # re-assign the whole batch against the grown set (a new
+                # centroid may also be nearer to an in-range row)
+                assign = self._assign_to_centroids(x)
+        else:
+            assign = self._assign_to_centroids(x)
         codes = self._encode_assigned(x, assign)
         self._assign = np.concatenate([self._assign, assign])
         self._codes = (
@@ -390,11 +463,14 @@ class IVFPQIndex:
         self._pending = []
         self._dev = None
 
-    def _assign_to_centroids(self, x: np.ndarray) -> np.ndarray:
+    def _assign_to_centroids(
+        self, x: np.ndarray, return_dist: bool = False
+    ):
         from ngt_tpu.graph.build import _upload_f32
 
         cd = jnp.asarray(self.centroids)
         out = np.empty(len(x), np.int32)
+        dist = np.empty(len(x), np.float32) if return_dist else None
         step = 65536
         for s in range(0, len(x), step):
             chunk = x[s : s + step]
@@ -402,13 +478,18 @@ class IVFPQIndex:
                 # pad the ragged tail to the fixed chunk shape (one compile)
                 pad = np.zeros((step, x.shape[1]), x.dtype)
                 pad[: len(chunk)] = chunk
-                a = np.asarray(_assign_chunk(_upload_f32(pad), cd))
+                a, d = jax.device_get(_assign_chunk(_upload_f32(pad), cd))
                 out[s:] = a[: len(chunk)]
+                if return_dist:
+                    dist[s:] = d[: len(chunk)]
             else:
-                out[s : s + step] = np.asarray(
+                a, d = jax.device_get(
                     _assign_chunk(_upload_f32(np.ascontiguousarray(chunk)), cd)
                 )
-        return out
+                out[s : s + step] = a
+                if return_dist:
+                    dist[s : s + step] = d
+        return (out, dist) if return_dist else out
 
     def build(self, kmeans_iters: int = 15, seed: int = 0) -> None:
         """Train global + local codebooks on (a sample of) the pending data,
@@ -429,7 +510,10 @@ class IVFPQIndex:
                                          replace=False))]
         c = min(self.n_centroids, len(train))
         self.centroids, _ = kmeans(train, c, iters=kmeans_iters, seed=seed)
-        assign = self._assign_to_centroids(x)
+        assign, adist = self._assign_to_centroids(x, return_dist=True)
+        # gating radius for dynamic centroid creation (see __init__): the
+        # training population's own assignment-distance tail
+        self.global_range = float(np.quantile(adist, 0.999)) if len(adist) else 0.0
         if len(x) > self.train_sample:
             pick = np.sort(rng.choice(len(x), self.train_sample,
                                       replace=False))
@@ -864,6 +948,8 @@ class IVFPQIndex:
                     "trained_size": self._trained_size,
                     "rebuild_factor": self.rebuild_factor,
                     "next_id": self._next_id,
+                    "centroid_mode": self.centroid_mode,
+                    "global_range": self.global_range,
                 },
                 fh,
             )
@@ -882,7 +968,9 @@ class IVFPQIndex:
             raw_store=meta.get("raw_store", "device"),
             raw_path=meta.get("raw_path"),
             rebuild_factor=meta.get("rebuild_factor", 2.0),
+            centroid_mode=meta.get("centroid_mode", "static"),
         )
+        idx.global_range = float(meta.get("global_range", 0.0))
         idx.centroids = st["centroids"]
         idx._assign = st["assign"]
         codes = st["codes"]

@@ -438,8 +438,12 @@ def test_ivfpq_incremental_insert(ivf_setup):
     extra = rng.normal(size=(500, 24)).astype(np.float32) * 2
     ivf.batch_insert(extra)
     assert ivf.size == 2500
-    # no retrain happened
-    np.testing.assert_array_equal(ivf.centroids, cents_before)
+    # no retrain happened: trained centroids are immutable (dynamic mode may
+    # APPEND for out-of-range rows — the reference's insert-time growth —
+    # but never moves or retrains the existing set)
+    np.testing.assert_array_equal(
+        ivf.centroids[: len(cents_before)], cents_before
+    )
     assert not ivf.needs_rebuild()
     assert ivf.verify() == []
     # the new objects are findable
@@ -676,3 +680,59 @@ def test_angular_quantized_routing_rank_faithful(angular_setup, mode):
     rec_q = recall_at_k(np.asarray(ids_q), gt, 10)
     assert rec_q >= rec_e - 0.05, (rec_e, rec_q)
     assert rec_q >= 0.85
+
+
+def test_ivfpq_dynamic_centroids(rng):
+    """Insert-time coarse-centroid growth (reference
+    CentroidCreationModeDynamic, Quantizer.h:174-205): vectors landing in a
+    region the trained centroids never saw must mint new centroids, and
+    post-growth recall must stay within 1 pt of a full rebuild (the round-3
+    verdict's drift bound)."""
+    from ngt_tpu.quant.ivfpq import IVFPQIndex
+
+    d = 24
+    # training distribution: clusters around 8 far-apart anchors
+    anchors = rng.normal(size=(8, d)).astype(np.float32) * 30
+    train = (anchors[rng.integers(0, 8, 4000)]
+             + rng.normal(size=(4000, d)).astype(np.float32))
+    # post-build inserts: 8 NEW anchors, twice the trained size
+    anchors2 = rng.normal(size=(8, d)).astype(np.float32) * 30 + 150
+    extra = (anchors2[rng.integers(0, 8, 8000)]
+             + rng.normal(size=(8000, d)).astype(np.float32))
+
+    dyn = IVFPQIndex(d, n_centroids=32, centroid_mode="dynamic")
+    dyn.batch_insert(train)
+    dyn.build()
+    n0 = len(dyn.centroids)
+    assert dyn.global_range > 0
+    dyn.batch_insert(extra)
+    assert len(dyn.centroids) > n0          # growth happened
+
+    # static twin degrades (new region crammed into old buckets) unless
+    # rebuilt; dynamic must match the rebuilt index within 1 pt
+    reb = IVFPQIndex(d, n_centroids=32, centroid_mode="static")
+    reb.batch_insert(train)
+    reb.build()
+    reb.batch_insert(extra)
+    reb.rebuild()
+
+    q = (np.concatenate([anchors, anchors2])[rng.integers(0, 16, 256)]
+         + rng.normal(size=(256, d)).astype(np.float32))
+    allx = np.concatenate([train, extra])
+    di = np.linalg.norm(q[:, None] - allx[None], axis=-1)
+    gt = np.argsort(di, axis=1)[:, :10]
+
+    ids_d, _ = dyn.batch_search(q, size=10, nprobe=8, result_expansion=10)
+    ids_r, _ = reb.batch_search(q, size=10, nprobe=8, result_expansion=10)
+    rec_d = recall_at_k(np.asarray(ids_d), gt, 10)
+    rec_r = recall_at_k(np.asarray(ids_r), gt, 10)
+    assert rec_d >= rec_r - 0.01
+    # persistence round-trips the mode + range
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        dyn.save(td)
+        back = IVFPQIndex.open(td)
+        assert back.centroid_mode == "dynamic"
+        assert back.global_range == pytest.approx(dyn.global_range)
+        assert len(back.centroids) == len(dyn.centroids)
