@@ -360,7 +360,24 @@ def adjust_paths(
         )
     )[:n]
 
-    # phase 2: rank-ordered re-insertion (vectorized per rank).
+    # phase 2: rank-ordered re-insertion.  Native single pass (per-node
+    # id-sorted rows + binary-search pos lookup — seconds at 1M) with the
+    # per-rank numpy loop as the toolchain-free fallback; both compute the
+    # same kept set (pinned by tests/test_reconstruct.py).
+    from ngt_tpu import native
+
+    kept = native.adjust_paths_phase2(nbr, deg, cand_bits, min_edges)
+    if kept is not None:
+        src, col = np.nonzero(kept)
+        out = GraphStore(max_edges=graph.e_max, capacity=max(n, 16))
+        nbr2, dist2, deg2 = _normalize_rows(
+            src.astype(np.int64), nbr[src, col], dist[src, col], n,
+            graph.e_max,
+        )
+        out.nbr_ids[:n], out.nbr_dist[:n], out.degree[:n] = nbr2, dist2, deg2
+        out._has_node[:n] = graph._has_node[:n]
+        return out
+
     # kept[u, r] - whether u's rank-r edge survives.
     kept = np.zeros((n, e), bool)
     kept_count = np.zeros(n, np.int32)

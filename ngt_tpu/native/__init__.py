@@ -91,6 +91,13 @@ def _load():
                 ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_uint8),
             ]
+            lib.adjust_paths_phase2.restype = ctypes.c_int64
+            lib.adjust_paths_phase2.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+            ]
             lib.merge_edges.restype = None
             lib.merge_edges.argtypes = [
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
@@ -313,6 +320,35 @@ def constrained_reverse(
         np.asarray(rid_o, np.int32), np.asarray(src_o, np.int32),
         np.asarray(d_o, np.float32),
     )
+
+
+def adjust_paths_phase2(
+    nbr: np.ndarray, deg: np.ndarray, cand_bits: np.ndarray, min_edges: int
+) -> np.ndarray | None:
+    """Serial rank-ordered shortcut re-insertion (phase 2 of
+    adjustPathsEffectively, reference GraphReconstructor.h:197-386) over the
+    device-detected candidate bits.  Returns kept [n, e] bool, or None when
+    the native lib is unavailable (caller falls back to the numpy rank
+    loop, which computes the identical result ~50x slower at 1M)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n, e = nbr.shape
+    nbr_c = np.ascontiguousarray(nbr, np.int32)
+    deg_c = np.ascontiguousarray(deg, np.int32)
+    cand_c = np.ascontiguousarray(cand_bits)
+    kept = np.empty((n, e), np.uint8)
+    got = lib.adjust_paths_phase2(
+        nbr_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        deg_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cand_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        np.int64(n), np.int64(e), np.int64(cand_bits.shape[2]),
+        np.int64(min_edges),
+        kept.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if got < 0:
+        return None
+    return kept.view(bool)
 
 
 def format_obj_rows(x: np.ndarray, valid: np.ndarray) -> bytes | None:

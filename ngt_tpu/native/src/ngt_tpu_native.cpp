@@ -467,4 +467,93 @@ int64_t parse_graph_rows(const char *buf, int64_t len, int64_t n, int64_t e,
   return p - buf;
 }
 
+// Rank-ordered shortcut re-insertion — phase 2 of path adjustment
+// (adjustPathsEffectively, reference GraphReconstructor.h:197-386).  The
+// device pass (graph/reconstruct.py _detect_shortcuts_all) has already
+// bit-packed, per node u and edge ranks (v_rank, w_rank), whether the
+// two-hop u->v->w triangle shortcuts u->w; this serial pass replays edges
+// in rank order keeping u->w only when no KEPT two-hop path exists yet.
+//
+//   nbr   [n, e]      adjacency, -1 padded, rows distance-sorted
+//   deg   [n]         out-degrees
+//   cand  [n, e, eb8] candidate bits, w axis packed big-endian per byte
+//   kept  [n, e]      OUT 0/1
+//
+// pos(w in v's row) is resolved by binary search over a per-node id-sorted
+// permutation built once (the numpy rank loop paid a full [n,e] unpack +
+// argmax gather per rank — 849-1,023 s at 1M/e=130; this pass is seconds).
+// Returns kept-edge count, or -1 on alloc failure.
+int64_t adjust_paths_phase2(const int32_t *nbr, const int32_t *deg,
+                            const uint8_t *cand, int64_t n, int64_t e,
+                            int64_t eb8, int64_t min_edges, uint8_t *kept) {
+  if (n <= 0 || e <= 0) return 0;
+  // id-sorted permutation per node: sorted_ids[u*e+j] ascending, with
+  // sorted_rank[u*e+j] = original rank of that id
+  std::vector<int32_t> sorted_ids;
+  std::vector<int16_t> sorted_rank;
+  std::vector<int32_t> kept_count(n, 0);
+  try {
+    sorted_ids.resize((size_t)n * e);
+    sorted_rank.resize((size_t)n * e);
+  } catch (...) {
+    return -1;
+  }
+  std::vector<int16_t> perm(e);
+  for (int64_t u = 0; u < n; ++u) {
+    const int32_t *row = nbr + (size_t)u * e;
+    int64_t d = deg[u] < e ? deg[u] : e;
+    for (int64_t j = 0; j < d; ++j) perm[j] = (int16_t)j;
+    std::sort(perm.begin(), perm.begin() + d,
+              [row](int16_t a, int16_t b) { return row[a] < row[b]; });
+    int32_t *si = sorted_ids.data() + (size_t)u * e;
+    int16_t *sr = sorted_rank.data() + (size_t)u * e;
+    for (int64_t j = 0; j < d; ++j) {
+      si[j] = row[perm[j]];
+      sr[j] = perm[j];
+    }
+    for (int64_t j = d; j < e; ++j) si[j] = INT32_MAX;  // search sentinel
+  }
+  std::memset(kept, 0, (size_t)n * e);
+  int64_t total = 0;
+  for (int64_t r = 0; r < e; ++r) {
+    const int64_t byte_r = r >> 3;
+    const int shift_r = 7 - (int)(r & 7);
+    for (int64_t u = 0; u < n; ++u) {
+      if (r >= deg[u]) continue;
+      bool drop = false;
+      if (kept_count[u] + (deg[u] - r) > min_edges) {
+        const int32_t w = nbr[(size_t)u * e + r];
+        const uint8_t *cu = cand + ((size_t)u * e) * eb8 + byte_r;
+        const uint8_t *ku = kept + (size_t)u * e;
+        // v_rank < r: only earlier-rank edges can already be kept
+        for (int64_t v_rank = 0; v_rank < r; ++v_rank) {
+          if (!ku[v_rank]) continue;
+          if (!((cu[(size_t)v_rank * eb8] >> shift_r) & 1)) continue;
+          const int32_t v = nbr[(size_t)u * e + v_rank];
+          if (v < 0 || v >= n) continue;
+          // first occurrence of w in v's row (rows are duplicate-free)
+          const int32_t *si = sorted_ids.data() + (size_t)v * e;
+          const int32_t *lo = std::lower_bound(si, si + e, w);
+          if (lo != si + e && *lo == w) {
+            const int16_t pos = sorted_rank[(size_t)v * e + (lo - si)];
+            // pos < r: a same-round keep (pos == r) must not count — the
+            // numpy/vectorized semantics decide a whole rank against the
+            // PREVIOUS rounds' kept state only
+            if (pos < r && kept[(size_t)v * e + pos]) {
+              drop = true;
+              break;
+            }
+          }
+        }
+      }
+      if (!drop) {
+        kept[(size_t)u * e + r] = 1;
+        ++kept_count[u];
+        ++total;
+      }
+    }
+  }
+  return total;
+}
+
 }  // extern "C"

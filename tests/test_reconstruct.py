@@ -216,3 +216,31 @@ def test_reconstruct_with_constraint(rng):
     # indegree is balanced vs the unconstrained reconstruction
     stats = idx.statistics()
     assert stats["indegree"]["zero"] == 0
+
+
+def test_adjust_paths_native_matches_numpy(rng, monkeypatch):
+    # native phase-2 (C rank replay) must reproduce the numpy rank loop
+    # bit-for-bit on a non-trivial random graph
+    from ngt_tpu import native
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    n, e = 300, 12
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    d = np.linalg.norm(x[:, None] - x[None, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    ids = np.argsort(d, axis=1)[:, :e].astype(np.int32)
+    ds = np.take_along_axis(d, ids, axis=1).astype(np.float32)
+    g = GraphStore(max_edges=e, capacity=n)
+    g.set_nodes(np.arange(n), ids, ds)
+    out_native = adjust_paths(g, n, min_edges=3)
+
+    g2 = GraphStore(max_edges=e, capacity=n)
+    g2.set_nodes(np.arange(n), ids, ds)
+    monkeypatch.setattr(native, "adjust_paths_phase2",
+                        lambda *a, **k: None)
+    out_numpy = adjust_paths(g2, n, min_edges=3)
+    assert np.array_equal(out_native.degree[:n], out_numpy.degree[:n])
+    assert np.array_equal(out_native.nbr_ids[:n], out_numpy.nbr_ids[:n])
