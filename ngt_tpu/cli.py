@@ -456,9 +456,11 @@ def cmd_quantize(args):
 
     idx = ngt_tpu.open_index(args.index)
     qg = QuantizedGraphIndex.quantize(
-        idx, dsub=args.dimension_of_subvector, ksub=16
+        idx, dsub=args.dimension_of_subvector, ksub=16,
+        mode=getattr(args, "mode", "auto"),
     )
     qg.save(args.index)
+    print(f"quantized mode={qg.mode}")
     return 0
 
 
@@ -768,6 +770,9 @@ def build_parser() -> argparse.ArgumentParser:
 
     qz = sub.add_parser("quantize", help="build quantized-graph data (NGTQG)")
     qz.add_argument("-Q", "--dimension-of-subvector", type=int, default=2)
+    qz.add_argument("-M", "--mode", default="auto",
+                    choices=("auto", "sq8", "pq4"),
+                    help="block format: auto = by HBM budget (pick_mode)")
     qz.add_argument("index")
     qz.set_defaults(fn=cmd_quantize)
 
@@ -806,6 +811,8 @@ def build_parser() -> argparse.ArgumentParser:
 
     qgq = sub.add_parser("ngtqg-quantize", help="alias of quantize")
     qgq.add_argument("-Q", "--dimension-of-subvector", type=int, default=2)
+    qgq.add_argument("-M", "--mode", default="auto",
+                     choices=("auto", "sq8", "pq4"))
     qgq.add_argument("index")
     qgq.set_defaults(fn=cmd_quantize)
 

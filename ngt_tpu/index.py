@@ -384,9 +384,14 @@ class Index:
             return None
         if n == 0:
             return None
+        from ngt_tpu.quant.qgraph import QuantizedGraphIndex
+
         if mode != "qg" and self._qg is None:
-            # proactive fit check: past ~3M rows (at 128 dims) even the
-            # 16-edge block-width FLOOR exceeds the HBM budget — the eb
+            # proactive fit check with the AUTO-SELECTED block format
+            # (pick_mode: sq8 while the budget admits wide blocks, pq4 —
+            # 0.25 B/dim — past that, which carries one chip to 4M+ rows).
+            # Past the point where even the 16-edge block-width FLOOR of the
+            # chosen format exceeds the HBM budget, skip the mirror: the eb
             # formula's max(16, budget) would ship blocks far over budget
             # and thrash the OOM-shrink retry loop before falling back.
             # NGT_TPU_QG_MAX_GB caps the floor-width block bytes the auto
@@ -396,7 +401,9 @@ class Index:
 
             cap = self.store._x.shape[0]
             d_pad = self.store.d_pad
-            floor_bytes = cap * 16 * d_pad + cap * d_pad   # blocks + codes
+            fmt = QuantizedGraphIndex.pick_mode(cap, d_pad)
+            bpd = d_pad if fmt == "sq8" else -(-d_pad // 4)   # bytes/row-edge
+            floor_bytes = cap * 16 * bpd + cap * bpd   # blocks + codes
             max_gb = float(_os.environ.get("NGT_TPU_QG_MAX_GB", "9"))
             if floor_bytes > max_gb * (1 << 30):
                 from ngt_tpu.utils import logger
@@ -404,16 +411,14 @@ class Index:
                 if not getattr(self, "_qg_size_warned", False):
                     self._qg_size_warned = True
                     logger.warning(
-                        "sq8 mirror skipped: %d-row blocks need %.1f GiB "
+                        "%s mirror skipped: %d-row blocks need %.1f GiB "
                         "even at the width floor (> NGT_TPU_QG_MAX_GB=%g); "
                         "use ShardedQG or search_mode='qg' to force",
-                        cap, floor_bytes / (1 << 30), max_gb,
+                        fmt, cap, floor_bytes / (1 << 30), max_gb,
                     )
                 return None
         if self._qg is None:
-            from ngt_tpu.quant.qgraph import QuantizedGraphIndex
-
-            self._qg = QuantizedGraphIndex.quantize(self, mode="sq8")
+            self._qg = QuantizedGraphIndex.quantize(self, mode="auto")
         return self._qg
 
     def _resolve_edge_size(self, edge_size: int, epsilon: float) -> int:

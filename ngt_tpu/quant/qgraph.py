@@ -53,7 +53,8 @@ _exact_rerank = functools.partial(jax.jit, static_argnames=("metric", "k"))(
 
 
 def _tail_refine_body(
-    x, codes, nbr_full, valid, q, qdv, pool_ids, ids1, *, metric, k, eb, r_sel
+    x, codes, nbr_full, valid, q, qdv, pool_ids, ids1, *, metric, k, eb,
+    r_sel, scorer=None,
 ):
     """Edge-tail refinement — the loop-free recall stage behind the eps=0
     headline.  The traversal provably cannot miss a true top-k that is
@@ -78,7 +79,12 @@ def _tail_refine_body(
     safe_c = jnp.clip(cand, 0, n - 1)
     ok = (cand >= 0) & jnp.take(valid, safe_c, axis=0)
     rows = jnp.take(codes, safe_c, axis=0)                  # [B, k*T, M]
-    dd = D.gathered(DistanceType.L2, qdv, rows)
+    # sq8: scaled-L2 over int8 rows (qdv = q/scale); pq4: ADC LUT sum over
+    # packed nibbles (qdv = the flattened per-query LUT)
+    if scorer is None:
+        dd = D.gathered(DistanceType.L2, qdv, rows)
+    else:
+        dd = scorer(qdv, rows)
     dd = jnp.where(ok, dd, jnp.inf)
     _, sel = jax.lax.top_k(-dd, min(r_sel, kk * t))
     tid = jnp.take_along_axis(cand, sel, axis=1)
@@ -102,7 +108,7 @@ def _tail_refine_body(
 
 
 _tail_refine = functools.partial(
-    jax.jit, static_argnames=("metric", "k", "eb", "r_sel")
+    jax.jit, static_argnames=("metric", "k", "eb", "r_sel", "scorer")
 )(_tail_refine_body)
 
 
@@ -110,40 +116,65 @@ _tail_refine = functools.partial(
     jax.jit,
     static_argnames=(
         "metric", "k", "k_exp", "s", "width", "hash_bits", "exact_hash",
-        "expand", "normalize_q", "refine", "eb", "kr",
+        "expand", "normalize_q", "refine", "eb", "kr", "mode", "m", "ksub",
     ),
 )
-def _sq8_fused_search(
+def _qg_fused_search(
     blocks, nbr_eb, valid, codes, x, rep_rows, rep_sq, rep_ids, q,
-    sq_scale, epsilon, edge_limit, nbr_full=None, *, metric, k, k_exp, s,
-    width, hash_bits, exact_hash, expand, normalize_q, refine=0, eb=0,
-    kr=0,
+    sq_scale, epsilon, edge_limit, nbr_full=None, codebooks=None,
+    pq_mean=None, *, metric, k, k_exp, s, width, hash_bits, exact_hash,
+    expand, normalize_q, refine=0, eb=0, kr=0, mode="sq8", m=0, ksub=16,
 ):
-    """Seed selection + sq8 block traversal + exact re-rank as ONE device
-    program.  The un-fused wrapper paid 3+ dispatches per batch over the
-    tunneled device (eager seed ops, graph_search, rerank) — the measured
-    gap between direct graph_search calls and the production wrapper at 1M
-    (BASELINE.md round 2e: 24.7k vs 21.6k qps)."""
+    """Seed selection + quantized block traversal + exact re-rank as ONE
+    device program.  The un-fused wrapper paid 3+ dispatches per batch over
+    the tunneled device (eager seed ops, graph_search, rerank) — the
+    measured gap between direct graph_search calls and the production
+    wrapper at 1M (BASELINE.md round 2e: 24.7k vs 21.6k qps).
+
+    Two block formats share the program structure (static ``mode``):
+
+    * ``sq8``: traversal queries are q/scale, scorer is plain L2 over int8
+      block rows;
+    * ``pq4``: the per-query ADC lookup table is computed IN-PROGRAM from
+      the (tiny, VMEM-resident) codebooks and the traversal scores PACKED
+      4-bit block rows with the one-hot LUT sum (quant.pq.make_packed_scorer
+      — the TPU vpshufb analogue, reference Quantizer.h:957-1095).  pq4
+      blocks are 4x smaller (0.25 B/dim, matching the reference's 0.5 B/dim
+      stream at QuantizedGraph.h:24 halved again by padding-free packing),
+      which is what lets one 16 GB chip hold 4M+ rows at full block width.
+    """
     # queries may arrive as f16 (NGT_TPU_QG_Q16 halves the tunnel upload);
     # widen to f32 FIRST so every downstream contraction keeps f32 inputs
     q = q.astype(jnp.float32)
     # 1. seed selection (selection-only scores; the traversal re-scores the
-    #    chosen seeds exactly against the sq8 codes in-program)
+    #    chosen seeds against the quantized codes in-program)
     sd = D.seed_scores(metric, q, rep_rows, rep_sq=rep_sq)
     _, si = jax.lax.approx_max_k(-sd, min(s, rep_rows.shape[0]))
     seeds = jnp.take(rep_ids, si, axis=0)
-    # 2. scaled queries for the sq8 scorer (plain angular metrics normalize
-    #    to match the normalized codes — see _sq8_rows)
+    # 2. traversal queries (plain angular metrics normalize to match the
+    #    normalized codes — see _sq8_rows)
     qdv = q.astype(jnp.float32)
     if normalize_q:
         qn = jnp.sqrt(jnp.sum(qdv * qdv, axis=1, keepdims=True))
         qdv = qdv / jnp.maximum(qn, 1e-30)
+    if mode == "sq8":
+        qt = qdv / sq_scale
+        scorer = None
+    else:
+        # per-query LUT [B, M, K] of squared subvector distances, computed
+        # on device (pq.ProductQuantizer.lut semantics, Quantizer.h:683-706)
+        dsub = codebooks.shape[2]
+        qc = qdv - pq_mean[None, :]
+        qs = qc[:, : m * dsub].reshape(q.shape[0], m, dsub)
+        diff = qs[:, :, None, :] - codebooks[None, :, :, :]
+        qt = jnp.sum(diff * diff, axis=-1).reshape(q.shape[0], -1)
+        scorer = make_packed_scorer(m, ksub)
     res = graph_search(
-        blocks, nbr_eb, valid, qdv / sq_scale, seeds,
+        blocks, nbr_eb, valid, qt, seeds,
         metric=DistanceType.L2, k=k_exp, k_radius=kr if kr > 0 else k,
         epsilon=epsilon, width=width, edge_size=edge_limit,
         hash_bits=hash_bits, exact_hash=exact_hash, expand=expand,
-        scorer=None, block_mode=True, seed_x=codes,
+        scorer=scorer, block_mode=True, seed_x=codes,
     )
     # 3. exact re-rank with the true metric over the f32 mirror
     ids1, d1 = _rerank_body(x, q, res.ids, res.ids >= 0, metric, k)
@@ -151,9 +182,48 @@ def _sq8_fused_search(
         return ids1, d1
     # 4. edge-tail refinement (see _tail_refine_body)
     return _tail_refine_body(
-        x, codes, nbr_full, valid, q, qdv / sq_scale, res.ids, ids1,
-        metric=metric, k=k, eb=eb, r_sel=refine,
+        x, codes, nbr_full, valid, q, qt, res.ids, ids1,
+        metric=metric, k=k, eb=eb, r_sel=refine, scorer=scorer,
     )
+
+
+def _norm_rows(xr, normalize):
+    if normalize:
+        nrm = jnp.sqrt(jnp.sum(xr * xr, axis=1, keepdims=True))
+        xr = xr / jnp.maximum(nrm, 1e-30)
+    return xr
+
+
+@functools.partial(jax.jit, static_argnames=("normalize",))
+def _absmax_dev(x, valid, *, normalize):
+    """Max |component| over live (optionally row-normalized) rows."""
+    xr = jnp.where(valid[:, None], _norm_rows(x.astype(jnp.float32), normalize), 0.0)
+    return jnp.max(jnp.abs(xr))
+
+
+@functools.partial(jax.jit, static_argnames=("normalize",))
+def _sq8_chunk_dev(x, valid, inv_scale, *, normalize):
+    """Device-side sq8 encode of one row chunk from the mirror's corpus —
+    no host round trip (the host encode + upload was 20+ s at 1M on this
+    1-core host; the corpus is already ON the device in mirror.x)."""
+    xr = jnp.where(valid[:, None], _norm_rows(x.astype(jnp.float32), normalize), 0.0)
+    return jnp.clip(jnp.round(xr * inv_scale), -127, 127).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "normalize"))
+def _pq4_chunk_dev(x, valid, codebooks, mean, *, m, normalize):
+    """Device-side pq4 encode of one row chunk (per-subspace nearest
+    centroid via MXU matmuls, two nibbles per byte — pq.pack_codes4
+    semantics).  Chunked by the caller: the [N, m, ksub] distance
+    intermediate is 4 GiB at 1M rows if done whole."""
+    from ngt_tpu.quant.pq import _encode
+
+    xr = _norm_rows(x.astype(jnp.float32), normalize)
+    xr = jnp.where(valid[:, None], xr, mean[None, :])  # dead rows: code of 0-residual
+    codes = _encode(xr - mean[None, :], codebooks, m)   # [N, m] uint8
+    lo = codes[:, 0::2]
+    hi = codes[:, 1::2]
+    return lo | (hi << jnp.uint8(4))
 
 
 class QuantizedGraphIndex:
@@ -165,11 +235,19 @@ class QuantizedGraphIndex:
       layout the TPU VPU actually likes.  A single scale keeps the ranking
       EXACTLY monotone with true quantized L2.
     * ``pq4``: the reference's 4-bit product codes + LUT sum
-      (QuantizedGraph.h:24, Quantizer.h:957-1095) — kept for parity and for
-      memory-constrained deployments (0.5 B/dim vs 1 B/dim).
+      (QuantizedGraph.h:24, Quantizer.h:957-1095) — 4x smaller blocks
+      (0.25 B/dim vs 1 B/dim), the production format past the scale where
+      sq8 neighbor blocks stop fitting the HBM budget (``pick_mode``).
 
     Build from a finished Index via ``quantize`` (the analogue of
-    ``ngtqg quantize``; NGTQG::Index::quantize, QuantizedGraph.h:456-475)."""
+    ``ngtqg quantize``; NGTQG::Index::quantize, QuantizedGraph.h:456-475);
+    ``mode="auto"`` selects the format by HBM budget."""
+
+    #: below this sq8 block width the recall loss from narrow hops exceeds
+    #: pq4's 4-bit quantization noise at ~4x the width (eb 32->24 alone
+    #: costs 3.4 recall pts, BASELINE.md round 2e; pq4's code distortion is
+    #: recovered by the exact re-rank + tail refine)
+    SQ8_MIN_EB = 24
 
     def __init__(self, index, pq: ProductQuantizer | None, codes: np.ndarray,
                  mode: str = "pq4", sq_scale: float = 1.0,
@@ -205,12 +283,134 @@ class QuantizedGraphIndex:
         return x_rows
 
     @classmethod
+    def pick_mode(cls, cap: int, d_pad: int) -> str:
+        """Auto block-format selection by HBM budget: sq8 while the budget
+        admits >= SQ8_MIN_EB block columns, else pq4 (whose 0.25 B/dim
+        blocks run ~4x wider for the same bytes).  The reference flips an
+        analogous scale switch at 5M objects (NGT_LARGE_DATASET,
+        Graph.h:287-380) and streams 4-bit codes in NGTQG
+        (QuantizedGraph.h:24,64-115)."""
+        if d_pad % 4:
+            return "sq8"   # pq4 packing needs dim % 4 == 0 (dsub=2, paired)
+        gb = float(os.environ.get("NGT_TPU_QG_BLOCK_GB", "6"))
+        eb_sq8 = int(gb * (1 << 30)) // max(cap * d_pad, 1)
+        return "sq8" if eb_sq8 >= cls.SQ8_MIN_EB else "pq4"
+
+    #: rows used to train the pq4 codebooks (k-means over every row at 4M+
+    #: pays minutes for no measurable codebook quality; 256k is already
+    #: ~4000 samples per (subspace, centroid) cell)
+    PQ_FIT_SAMPLE = 1 << 18
+    #: encode/upload chunk (bounds the [M, chunk, dsub] device transpose)
+    PQ_ENCODE_CHUNK = 1 << 19
+
+    #: device-side encode chunk (bounds the [chunk, m, ksub] pq distance
+    #: intermediate to ~1 GiB and the sq8 f32 widening to ~128 MB)
+    DEV_ENCODE_CHUNK = 1 << 18
+
+    @classmethod
+    def _quantize_device(cls, index, dsub, ksub, iters, mode):
+        """Encode straight from the device mirror — zero host round trips.
+        The host path uploads the corpus it just downloaded (quantize(pq4)
+        measured 59 s at 1M; this path is a handful of device programs)."""
+        store = index.store
+        d_pad = store.d_pad
+        n = store.repository_size
+        mirror = index._ensure_mirror()
+        cap = store._x.shape[0]
+        normalize = store.metric in (DistanceType.COSINE, DistanceType.ANGLE)
+        valid_dev = jnp.asarray(store._valid[:cap])
+        step = cls.DEV_ENCODE_CHUNK
+        if mode == "sq8":
+            scale = float(
+                _absmax_dev(mirror.x, valid_dev, normalize=normalize)
+            ) / 127.0
+            scale = max(scale, 1e-30)
+            inv = jnp.float32(1.0 / scale)
+            chunks = [
+                _sq8_chunk_dev(
+                    mirror.x[i : i + step], valid_dev[i : i + step], inv,
+                    normalize=normalize,
+                )
+                for i in range(0, cap, step)
+            ]
+            codes_dev = (
+                jnp.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+            )
+            self = cls(index, None, np.zeros((cap, d_pad), np.int8),
+                       mode="sq8", sq_scale=scale)
+        else:
+            # fit on the SAME deterministic live-row sample as the host path
+            live_idx = np.nonzero(store._valid[:n])[0]
+            if len(live_idx) > cls.PQ_FIT_SAMPLE:
+                sel = np.random.default_rng(12345).choice(
+                    len(live_idx), cls.PQ_FIT_SAMPLE, replace=False
+                )
+                fit_ids = live_idx[np.sort(sel)]
+            else:
+                fit_ids = live_idx
+            rows = _norm_rows(
+                jnp.take(mirror.x, jnp.asarray(fit_ids), axis=0).astype(
+                    jnp.float32
+                ),
+                normalize,
+            )
+            pq = ProductQuantizer(d_pad, dsub=dsub, ksub=ksub)
+            if pq.m % 2:
+                raise ValueError("device pq4 needs an even subspace count")
+            mean_dev = jnp.mean(rows, axis=0)
+            resid = rows - mean_dev[None, :]
+            xs = resid.reshape(len(fit_ids), pq.m, dsub).transpose(1, 0, 2)
+            from ngt_tpu.quant.clustering import _kmeans_multi
+
+            cents, _ = _kmeans_multi(
+                xs, jax.random.PRNGKey(0), k=ksub, iters=iters,
+                mode="kmeans++",
+            )
+            pq.codebooks = np.asarray(cents, np.float32)
+            pq.mean = np.asarray(mean_dev, np.float32)
+            cb_dev = jnp.asarray(pq.codebooks)
+            chunks = [
+                _pq4_chunk_dev(
+                    mirror.x[i : i + step], valid_dev[i : i + step],
+                    cb_dev, mean_dev, m=pq.m, normalize=normalize,
+                )
+                for i in range(0, cap, step)
+            ]
+            codes_dev = (
+                jnp.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+            )
+            self = cls(index, pq, np.zeros((cap, pq.m // 2), np.uint8),
+                       mode="pq4")
+            self._cb_dev = cb_dev
+            self._mean_dev = jnp.asarray(pq.mean)
+        self._codes_dev = codes_dev
+        self._codes_mut = store.mutation_count
+        self._codes_host_stale = True   # self.codes is a lazy placeholder
+        return self
+
+    @classmethod
     def quantize(
         cls, index, dsub: int = 2, ksub: int = 16, iters: int = 20,
         mode: str = "sq8",
     ) -> "QuantizedGraphIndex":
         store = index.store
         d_pad = store.d_pad
+        if mode == "auto":
+            mode = cls.pick_mode(store._x.shape[0], d_pad)
+        if (
+            not store.sparse
+            and os.environ.get("NGT_TPU_QG_HOST_QUANTIZE", "") != "1"
+            and not (mode == "pq4" and (d_pad // dsub) % 2)
+        ):
+            try:
+                return cls._quantize_device(index, dsub, ksub, iters, mode)
+            except jax.errors.JaxRuntimeError:
+                from ngt_tpu.utils import logger
+
+                logger.warning(
+                    "device-side quantize failed (device pressure?); "
+                    "falling back to the host encode path"
+                )
         n = store.repository_size
         live = store._valid[:n]
         x = store._x[:n].astype(np.float32)
@@ -228,13 +428,27 @@ class QuantizedGraphIndex:
         # (same rank-faithfulness argument as _sq8_rows)
         rows = cls._sq8_rows(index, x[live])
         pq = ProductQuantizer(d_pad, dsub=dsub, ksub=ksub)
-        pq.fit(rows, iters=iters)
-        from ngt_tpu.quant.pq import pack_codes4
-
+        fit_rows = rows
+        if len(rows) > cls.PQ_FIT_SAMPLE:
+            sel = np.random.default_rng(12345).choice(
+                len(rows), cls.PQ_FIT_SAMPLE, replace=False
+            )
+            fit_rows = rows[np.sort(sel)]
+        pq.fit(fit_rows, iters=iters)
         mp = (pq.m + 1) // 2
         codes = np.zeros((store._x.shape[0], mp), np.uint8)
-        codes[:n][live] = pack_codes4(pq.encode(rows))
+        codes[:n][live] = cls._pq4_encode_chunked(pq, rows)
         return cls(index, pq, codes, mode="pq4")
+
+    @classmethod
+    def _pq4_encode_chunked(cls, pq: ProductQuantizer, rows: np.ndarray):
+        from ngt_tpu.quant.pq import pack_codes4
+
+        out = np.empty((len(rows), (pq.m + 1) // 2), np.uint8)
+        step = cls.PQ_ENCODE_CHUNK
+        for i in range(0, len(rows), step):
+            out[i : i + step] = pack_codes4(pq.encode(rows[i : i + step]))
+        return out
 
     # ------------------------------------------------------------------
     def _encode_rows(self, x_live: np.ndarray) -> np.ndarray:
@@ -246,9 +460,9 @@ class QuantizedGraphIndex:
             return np.clip(
                 np.round(x_live / self.sq_scale), -127, 127
             ).astype(np.int8)
-        from ngt_tpu.quant.pq import pack_codes4
-
-        return pack_codes4(self.pq.encode(self._sq8_rows(self.index, x_live)))
+        return self._pq4_encode_chunked(
+            self.pq, self._sq8_rows(self.index, x_live)
+        )
 
     def _dev_codes(self):
         store = self.index.store
@@ -271,9 +485,34 @@ class QuantizedGraphIndex:
                 self.codes[:n][live] = self._encode_rows(x_live)
             self._codes_mut = store.mutation_count
             self._codes_dev = None
+            self._codes_host_stale = False
         if self._codes_dev is None:
             self._codes_dev = jnp.asarray(self.codes)
         return self._codes_dev
+
+    def _host_codes(self) -> np.ndarray:
+        """Host copy of the codes.  After a device-side quantize the host
+        array is a lazy placeholder — materialize it on first host need
+        (save, sharded distribution)."""
+        if getattr(self, "_codes_host_stale", False):
+            if self._codes_dev is not None:
+                self.codes = np.asarray(self._codes_dev)
+                self._codes_host_stale = False
+            else:
+                # device codes were released before materialization:
+                # force a host re-encode from the store
+                self._codes_mut = -1
+                self._dev_codes()
+        return self.codes
+
+    def _dev_pq(self):
+        """Device copies of the (tiny) pq4 codebooks + global mean — the
+        fused program computes the per-query ADC LUT in-program from these
+        instead of paying an extra host dispatch per chunk."""
+        if getattr(self, "_cb_dev", None) is None:
+            self._cb_dev = jnp.asarray(self.pq.codebooks, jnp.float32)
+            self._mean_dev = jnp.asarray(self.pq.mean, jnp.float32)
+        return self._cb_dev, self._mean_dev
 
     def release_device(self) -> None:
         """Free every device buffer this mirror holds (codes, neighbor
@@ -283,9 +522,20 @@ class QuantizedGraphIndex:
         now-unused sq8 tensors alive can starve even the tiny query upload
         the exact path needs next.  Host state is untouched — the mirror
         rebuilds its device arrays on the next successful route."""
+        # a device-side quantize leaves the host codes as a lazy
+        # placeholder; pull them down before dropping the device copy
+        # (downloading frees HBM pressure, unlike a later 20 s host
+        # re-encode)
+        if getattr(self, "_codes_host_stale", False):
+            try:
+                self._host_codes()
+            except Exception:
+                self._codes_mut = -1   # force re-encode on next use
+                self._codes_host_stale = False
         mirror = getattr(self.index, "_mirror", None)
         mirror_nbr = getattr(mirror, "nbr", None)
-        for attr in ("_codes_dev", "_blocks_dev", "_nbr_eb"):
+        for attr in ("_codes_dev", "_blocks_dev", "_nbr_eb", "_cb_dev",
+                     "_mean_dev"):
             buf = getattr(self, attr, None)
             if buf is not None:
                 # never delete a buffer the exact-path mirror still owns
@@ -399,7 +649,7 @@ class QuantizedGraphIndex:
             idx.seeder.refresh(live, idx.store._x, default_reps(len(live)))
 
         if (
-            self.mode == "sq8"
+            (self.mode == "sq8" or (self.mode == "pq4" and self.pq is not None))
             and not idx.store.sparse
             and idx.seeder._rep_rows is not None
             and os.environ.get("NGT_TPU_QG_NO_FUSE", "") != "1"
@@ -500,16 +750,12 @@ class QuantizedGraphIndex:
             mirror.x, q, res.ids, res.ids >= 0, idx.store.metric, int(size)
         )
         refine = max(int(idx.prop.search_refine), 0)
-        if (
-            refine > 0
-            and self.mode == "sq8"
-            and mirror.nbr.shape[1] > eb
-        ):
+        if refine > 0 and mirror.nbr.shape[1] > eb:
             ids, dists = _tail_refine(
                 mirror.x, self._dev_codes(), mirror.nbr, mirror.valid, q,
                 queries_dev, res.ids, ids,
                 metric=idx.store.metric, k=int(size), eb=int(eb),
-                r_sel=refine,
+                r_sel=refine, scorer=scorer,
             )
         ids, dists = jax.device_get((ids, dists))
         return idx._ext(ids[:b0]), dists[:b0]
@@ -517,8 +763,8 @@ class QuantizedGraphIndex:
     def _batch_search_fused(
         self, qh, size, k_exp, epsilon, edge_size, width, expand, kr=0
     ):
-        """sq8 fast path: the batch runs as CHUNKED dispatches of one fused
-        device program (_sq8_fused_search) instead of eager seed ops +
+        """Production fast path (sq8 AND pq4): the batch runs as CHUNKED
+        dispatches of one fused device program (_qg_fused_search) instead of
         traversal + rerank.  Chunking pipelines the ~100 MB/s tunnel: chunk
         i+1's query upload overlaps chunk i's compute, and all result
         downloads are deferred to one device_get.  Measured at 1M/batch 8192:
@@ -540,6 +786,12 @@ class QuantizedGraphIndex:
         # discarding the eb=48 widening the block budget paid for
         e = eb if edge_size in (-1, 0) else min(int(edge_size), eb)
         seeder = idx.seeder
+        if self.mode == "pq4":
+            cb_dev, mean_dev = self._dev_pq()
+            mkw = dict(mode="pq4", m=int(self.pq.m), ksub=int(self.pq.ksub))
+        else:
+            cb_dev = mean_dev = None
+            mkw = dict(mode="sq8")
         kw = dict(
             metric=idx.store.metric, k=int(size), k_exp=int(k_exp),
             s=int(idx.prop.seed_size),
@@ -551,6 +803,7 @@ class QuantizedGraphIndex:
             refine=max(int(idx.prop.search_refine), 0),
             eb=int(eb),
             kr=int(kr),
+            **mkw,
         )
         b0 = qh.shape[0]
         chunk = int(os.environ.get("NGT_TPU_QG_CHUNK", "512"))
@@ -582,11 +835,11 @@ class QuantizedGraphIndex:
                 if np.abs(qp).max(initial=0.0) <= np.float32(65504.0):
                     qp = qp.astype(np.float16)
             qd = jnp.asarray(qp)
-            outs.append(_sq8_fused_search(
+            outs.append(_qg_fused_search(
                 blocks, nbr_eb, mirror.valid, self._dev_codes(), mirror.x,
                 seeder._rep_rows, seeder._rep_sq, seeder._rep_ids_dev,
                 qd, jnp.float32(self.sq_scale), jnp.float32(epsilon),
-                jnp.int32(e), mirror.nbr, **kw,
+                jnp.int32(e), mirror.nbr, cb_dev, mean_dev, **kw,
             ))
         got = jax.device_get(outs)
         ids = np.concatenate([g[0] for g in got], axis=0)[:b0]
@@ -620,7 +873,7 @@ class QuantizedGraphIndex:
         extra = self.pq.state_dict() if self.pq is not None else {}
         np.savez(
             os.path.join(qg, "quantized.npz"),
-            codes=self.codes[:n],
+            codes=self._host_codes()[:n],
             mode=self.mode,
             sq_scale=self.sq_scale,
             packed=self.mode == "pq4",
