@@ -92,6 +92,10 @@ def test_optimize_number_of_edges(rng):
     assert len(out["sizes"]) >= 2
     assert out["recommended_edge_size_for_creation"] >= 5
     assert out["target_size"] == 6000
+    # the estimate is validated by one REAL rebuild at the recommendation
+    # (not just the optimistic edge-size-masked sweep)
+    assert out["validated_accuracy"] is not None
+    assert out["validated_accuracy"] >= 0.9
 
 
 def test_dynamic_edge_size_formula(built_index):
