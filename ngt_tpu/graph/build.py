@@ -234,21 +234,43 @@ class DeviceMirror:
         v = self.store._valid[:cap] & self.graph._has_node[:cap]
         return v if idx is None else v[idx]
 
+    @staticmethod
+    def _narrow_enabled() -> bool:
+        import os as _os
+
+        return _os.environ.get("NGT_TPU_MIRROR_NARROW", "1") != "0"
+
     def sync_full(self):
         self.graph.ensure_capacity(self.store._x.shape[0])
-        self.x = _upload_f32(self.store._x)
+        # the resident mirror stays in the narrowest LOSSLESS dtype (u8 for
+        # SIFT-like integral corpora: 4x less HBM AND 4x less gather
+        # bandwidth on every hop; distances cast to f32 in-program, so
+        # results are bit-identical) — the lever that fits 8M rows on one
+        # 16 GB chip.  NGT_TPU_MIRROR_NARROW=0 reverts to f32.
+        self.x = (
+            _upload_narrow(self.store._x)
+            if self._narrow_enabled()
+            else _upload_f32(self.store._x)
+        )
         self.valid = jnp.asarray(self._search_valid())
         self.nbr = jnp.asarray(self.graph.nbr_ids[: self.store._x.shape[0]])
         self.sqnorm = D.sq_norms(self.x) if self._wants_sqnorm() else None
         self.capacity = self.store._x.shape[0]
         self.version += 1
 
-    def adopt(self, x: jax.Array, nbr: jax.Array, sqnorm: jax.Array | None):
+    def adopt(self, x: jax.Array, nbr: jax.Array, sqnorm: jax.Array | None,
+              x_narrow: jax.Array | None = None):
         """Take ownership of already-device-resident arrays (the bulk build
         constructs the adjacency ON device; re-uploading it through
-        sync_full would cost ~10 s per 850 MB over the tunnel)."""
+        sync_full would cost ~10 s per 850 MB over the tunnel).  When the
+        build kept its narrow upload (``x_narrow``), the mirror adopts THAT
+        and the f32 working copy is dropped with the build's scan state."""
         self.graph.ensure_capacity(self.store._x.shape[0])
-        self.x = x
+        self.x = (
+            x_narrow
+            if x_narrow is not None and self._narrow_enabled()
+            else x
+        )
         self.nbr = nbr
         self.sqnorm = sqnorm if self._wants_sqnorm() else None
         self.valid = jnp.asarray(self._search_valid())
@@ -278,6 +300,15 @@ class DeviceMirror:
             if self.sqnorm is not None
             else None
         )
+        if self.x.dtype != jnp.float32 and rows.dtype == np.float32:
+            # narrow resident mirror: scatter rows in its dtype when
+            # lossless; otherwise widen the mirror once (a later integral
+            # re-sync can narrow it again)
+            cast = rows.astype(np.dtype(self.x.dtype))
+            if np.array_equal(cast.astype(np.float32), rows):
+                rows = cast
+            else:
+                self.x = self.x.astype(jnp.float32)
         self.x, self.valid, self.sqnorm, self.nbr = _scatter_all(
             self.x, self.valid, self.sqnorm, self.nbr,
             jnp.asarray(opad), jnp.asarray(rows),
@@ -614,12 +645,9 @@ def _bridge_deferred(graph: GraphStore, piv, tgt, td) -> jax.Array:
     return dev_i
 
 
-def _upload_f32(xh: np.ndarray) -> jax.Array:
-    """Ship the object matrix over the ~50-100 MB/s tunnel in the narrowest
-    LOSSLESS dtype, widening to f32 on device.  SIFT-style integral data
-    (uint8-valued, like sift-128-euclidean) moves 4x fewer bytes; anything
-    exactly representable in f16/int16 moves 2x fewer.  Non-representable
-    data falls through to a plain f32 upload — never lossy."""
+def _narrow_host(xh: np.ndarray) -> np.ndarray:
+    """The narrowest LOSSLESS host representation of an f32 matrix
+    (uint8 / int16 / f16 / unchanged).  Never lossy."""
     try:
         if xh.dtype == np.float32 and xh.size:
             mn = float(xh.min())
@@ -627,17 +655,33 @@ def _upload_f32(xh: np.ndarray) -> jax.Array:
             if 0 <= mn and mx <= 255:
                 xi = xh.astype(np.uint8)
                 if np.array_equal(xi.astype(np.float32), xh):
-                    return jnp.asarray(xi).astype(jnp.float32)
+                    return xi
             elif -32768 <= mn and mx <= 32767:
                 xi = xh.astype(np.int16)
                 if np.array_equal(xi.astype(np.float32), xh):
-                    return jnp.asarray(xi).astype(jnp.float32)
+                    return xi
             x16 = xh.astype(np.float16)
             if np.array_equal(x16.astype(np.float32), xh):
-                return jnp.asarray(x16).astype(jnp.float32)
+                return x16
     except (ValueError, OverflowError):  # non-finite min/max etc.
         pass
-    return jnp.asarray(xh)
+    return xh
+
+
+def _upload_narrow(xh: np.ndarray) -> jax.Array:
+    """Ship the object matrix over the ~50-100 MB/s tunnel in the narrowest
+    LOSSLESS dtype and KEEP it narrow on device.  SIFT-style integral data
+    (uint8-valued, like sift-128-euclidean) moves — and permanently holds —
+    4x fewer bytes; every distance entry point (ops/distances.py) casts row
+    gathers to f32 before arithmetic, so results are bit-identical."""
+    return jnp.asarray(_narrow_host(xh))
+
+
+def _upload_f32(xh: np.ndarray) -> jax.Array:
+    """_upload_narrow, widened to f32 on device (for code that holds the
+    whole matrix hot in compute, e.g. the bulk scan)."""
+    x = _upload_narrow(xh)
+    return x if x.dtype == jnp.float32 else x.astype(jnp.float32)
 
 
 def ensure_connected(
@@ -804,7 +848,15 @@ def build_bulk(
     if mirror is None:
         mirror = DeviceMirror(store, graph)
 
-    x = _upload_f32(store._x)
+    x_narrow = _upload_narrow(store._x)
+    # the scan holds the whole matrix hot — widen a working copy; the
+    # NARROW upload is what the search mirror adopts at the end (u8 SIFT:
+    # 4x less resident HBM + hop gather bandwidth, bit-identical distances)
+    x = (
+        x_narrow
+        if x_narrow.dtype == jnp.float32
+        else x_narrow.astype(jnp.float32)
+    )
     valid = jnp.asarray(store._valid)  # all live objects are candidates
     sqn = D.sq_norms(x) if mirror._wants_sqnorm() else None
     mark("upload", x)
@@ -1057,7 +1109,7 @@ def build_bulk(
     if nbr_dev is not None:
         # adopt the already-device-resident arrays instead of re-uploading
         # ~850 MB over the tunnel
-        mirror.adopt(x, nbr_dev, sqn)
+        mirror.adopt(x, nbr_dev, sqn, x_narrow=x_narrow)
     else:
         mirror.sync_full()
     mark("mirror", mirror.nbr)

@@ -614,3 +614,38 @@ def test_check_graph_rederives_edges(rng):
     rep2 = idx.check_graph(sample=1500, seed=3)
     assert rep2["min_overlap"] <= 0.25, rep2
     assert rep2["divergent"] >= 1
+
+
+def test_narrow_mirror_integral_corpus(rng, monkeypatch):
+    """Integral (SIFT-like) corpora keep the device mirror in uint8 — 4x
+    less HBM and hop-gather bandwidth — with BIT-IDENTICAL results (every
+    distance entry point casts to f32 before arithmetic).  Non-integral
+    inserts widen the mirror; NGT_TPU_MIRROR_NARROW=0 opts out."""
+    data = np.rint(
+        np.clip(rng.normal(size=(2000, 32)) * 20 + 100, 0, 255)
+    ).astype(np.float32)
+    q = data[rng.choice(2000, 32)] + rng.normal(size=(32, 32)).astype(
+        np.float32
+    )
+    idx = _build(data, search_mode="exact")
+    assert str(idx._ensure_mirror().x.dtype) == "uint8"
+    i1, d1 = idx.batch_search(q, size=10, epsilon=0.05)
+
+    monkeypatch.setenv("NGT_TPU_MIRROR_NARROW", "0")
+    idx2 = _build(data, search_mode="exact")
+    assert str(idx2._ensure_mirror().x.dtype) == "float32"
+    i2, d2 = idx2.batch_search(q, size=10, epsilon=0.05)
+    monkeypatch.delenv("NGT_TPU_MIRROR_NARROW")
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
+
+    # integral appends stay narrow; half-integral data narrows to f16;
+    # data only f32 can hold widens all the way
+    idx.batch_insert(data[:64] + np.float32(1.0), build=True)
+    assert str(idx._mirror.x.dtype) == "uint8"
+    idx.batch_insert(data[:8] + np.float32(0.5), build=True)
+    assert str(idx._mirror.x.dtype) in ("float16", "float32")
+    idx.batch_insert(data[:8] + np.float32(1.0 / 3.0), build=True)
+    assert str(idx._mirror.x.dtype) == "float32"
+    r = idx.search(data[42], size=5)
+    assert r[0][0] == 43 or r[0][1] < 1e-6  # row 42 (1-based id 43) found
