@@ -248,6 +248,7 @@ def release_index(idx):
         qg._blocks_dev = None
     idx._qg = None
     idx._mirror = None
+    idx.store.release_device()
     gc.collect()
 
 
@@ -291,7 +292,7 @@ def bench_1m_angular(timed):
     ann-benchmarks protocol (its query sets are same-distribution
     held-out vectors).  Noised-copy queries (sigma=0.35|x|) are an
     out-of-distribution stress test, measured separately in BASELINE.md
-    round-3b/3c.  Returns (best qps at recall@10 >= 0.95, its recall)
+    round-3b/3c.  Returns {qps95, rec95, qps99, rec99}
     or None."""
     import ngt_tpu
     from ngt_tpu.ops.bruteforce import recall_at_k
@@ -338,6 +339,7 @@ def bench_1m_angular(timed):
         g11, _ = idx.batch_linear_search(queries, size=11)
         gt_ids = strip_self(np.asarray(g11))
         np.save(gt_f, gt_ids)
+    idx.store.release_device()   # drop the GT scan's device corpus copy
 
     tiers = TierTracker()
     for eps in (0.0, 0.005, 0.01, 0.02, 0.05):
@@ -378,7 +380,14 @@ def bench_1m_angular(timed):
     # eps (BASELINE.md round-3c) — the exact-KNNG bulk start already gives
     # the reconstruction's quality, so the recipe buys nothing here.
     release_index(idx)
-    return best
+    t95, t99 = tiers.get(0.95), tiers.get(0.99)
+    if t95 is None:
+        return None
+    return {
+        "qps95": t95[0], "rec95": t95[1],
+        "qps99": t99[0] if t99 else None,
+        "rec99": t99[1] if t99 else None,
+    }
 
 
 class TierTracker:
@@ -450,6 +459,7 @@ def bench_1m(base5k, timed, rng):
         gt_ids, _ = idx.batch_linear_search(queries, size=10)
         gt_ids = np.asarray(gt_ids)
         np.save(gt_f, gt_ids)
+    idx.store.release_device()   # drop the GT scan's device corpus copy
 
     tiers = TierTracker()
     # exact traversal curve (opt out of routing for this arm)
@@ -484,7 +494,7 @@ def bench_1m(base5k, timed, rng):
                 file=sys.stderr,
             )
             tiers.add(rec, qps)
-    idx.prop.search_refine = 32
+    idx.prop.search_refine = -1   # back to AUTO (min(64, e_max - eb))
     # exploration-rank rows (search_ef, BASELINE.md round 3f): on SIFT a
     # slightly better ladder than eps at the >=0.998 tier
     for ef in (14, 18):
@@ -580,6 +590,9 @@ def bench_4m(base5k, timed):
         gt_ids, _ = idx.batch_linear_search(queries, size=10)
         gt_ids = np.asarray(gt_ids)
         np.save(gt_f, gt_ids)
+    # the GT scan cached a full f32 corpus copy on device — 2 GiB at 4M
+    # that the search phase badly needs back
+    idx.store.release_device()
 
     best = None
     for eps, ef in ((0.0, 0), (0.0, 14), (0.0, 24), (0.01, 0)):

@@ -645,27 +645,7 @@ def _bridge_deferred(graph: GraphStore, piv, tgt, td) -> jax.Array:
     return dev_i
 
 
-def _narrow_host(xh: np.ndarray) -> np.ndarray:
-    """The narrowest LOSSLESS host representation of an f32 matrix
-    (uint8 / int16 / f16 / unchanged).  Never lossy."""
-    try:
-        if xh.dtype == np.float32 and xh.size:
-            mn = float(xh.min())
-            mx = float(xh.max())
-            if 0 <= mn and mx <= 255:
-                xi = xh.astype(np.uint8)
-                if np.array_equal(xi.astype(np.float32), xh):
-                    return xi
-            elif -32768 <= mn and mx <= 32767:
-                xi = xh.astype(np.int16)
-                if np.array_equal(xi.astype(np.float32), xh):
-                    return xi
-            x16 = xh.astype(np.float16)
-            if np.array_equal(x16.astype(np.float32), xh):
-                return x16
-    except (ValueError, OverflowError):  # non-finite min/max etc.
-        pass
-    return xh
+from ngt_tpu.utils import narrow_host as _narrow_host
 
 
 def _upload_narrow(xh: np.ndarray) -> jax.Array:
@@ -678,10 +658,14 @@ def _upload_narrow(xh: np.ndarray) -> jax.Array:
 
 
 def _upload_f32(xh: np.ndarray) -> jax.Array:
-    """_upload_narrow, widened to f32 on device (for code that holds the
-    whole matrix hot in compute, e.g. the bulk scan)."""
+    """_upload_narrow, widened back to f32 on device when the HOST data was
+    f32 (for code that holds the whole matrix hot in compute, e.g. the bulk
+    scan).  Non-float stores (uint8 Byte objects for the bitwise metrics)
+    keep their dtype — xor/popcount need integers."""
     x = _upload_narrow(xh)
-    return x if x.dtype == jnp.float32 else x.astype(jnp.float32)
+    if xh.dtype == np.float32 and x.dtype != jnp.float32:
+        return x.astype(jnp.float32)
+    return x
 
 
 def ensure_connected(
@@ -849,13 +833,14 @@ def build_bulk(
         mirror = DeviceMirror(store, graph)
 
     x_narrow = _upload_narrow(store._x)
-    # the scan holds the whole matrix hot — widen a working copy; the
+    # the scan holds the whole matrix hot — widen a working copy (only for
+    # float stores: uint8 Byte objects stay integer for xor/popcount); the
     # NARROW upload is what the search mirror adopts at the end (u8 SIFT:
     # 4x less resident HBM + hop gather bandwidth, bit-identical distances)
     x = (
-        x_narrow
-        if x_narrow.dtype == jnp.float32
-        else x_narrow.astype(jnp.float32)
+        x_narrow.astype(jnp.float32)
+        if store._x.dtype == np.float32 and x_narrow.dtype != jnp.float32
+        else x_narrow
     )
     valid = jnp.asarray(store._valid)  # all live objects are candidates
     sqn = D.sq_norms(x) if mirror._wants_sqnorm() else None

@@ -329,12 +329,27 @@ def adjust_paths(
     graph: GraphStore, n: int, min_edges: int = 0, block: int = 512,
 ) -> GraphStore:
     """Shortcut reduction (reference adjustPathsEffectively, :197-386)."""
+    import os as _os
+    import sys as _sys
+    import time as _t
+
+    prof = _os.environ.get("NGT_TPU_BUILD_PROFILE", "") == "1"
+    t0 = _t.time()
+
+    def mark(label):
+        nonlocal t0
+        if prof:
+            print(f"# adjust_paths {label}={_t.time()-t0:.1f}s",
+                  file=_sys.stderr, flush=True)
+            t0 = _t.time()
+
     e = int(graph.degree[:n].max()) if n else 0
     if e == 0:
         return graph
     nbr = graph.nbr_ids[:n]
     dist = graph.nbr_dist[:n]
     deg = graph.degree[:n]
+    mark("materialize")
 
     # phase 1: candidate detection — ONE fused device program (scan over
     # node tiles) returning the candidate tensor already BIT-PACKED along
@@ -354,11 +369,13 @@ def adjust_paths(
         dist_p = np.concatenate(
             [dist_p, np.full((n_pad - n, dist_p.shape[1]), INF, dist_p.dtype)]
         )
-    cand_bits = np.asarray(
-        _detect_shortcuts_all(
-            jnp.asarray(nbr_p), jnp.asarray(dist_p), e=e, block=block
-        )
-    )[:n]
+    cand_dev = _detect_shortcuts_all(
+        jnp.asarray(nbr_p), jnp.asarray(dist_p), e=e, block=block
+    )
+    mark("detect")
+    cand_bits = np.asarray(cand_dev)[:n]
+    del cand_dev
+    mark("cand_download")
 
     # phase 2: rank-ordered re-insertion.  Native single pass (per-node
     # id-sorted rows + binary-search pos lookup — seconds at 1M) with the
@@ -367,6 +384,7 @@ def adjust_paths(
     from ngt_tpu import native
 
     kept = native.adjust_paths_phase2(nbr, deg, cand_bits, min_edges)
+    mark("phase2")
     if kept is not None:
         src, col = np.nonzero(kept)
         out = GraphStore(max_edges=graph.e_max, capacity=max(n, 16))
@@ -376,6 +394,7 @@ def adjust_paths(
         )
         out.nbr_ids[:n], out.nbr_dist[:n], out.degree[:n] = nbr2, dist2, deg2
         out._has_node[:n] = graph._has_node[:n]
+        mark("normalize")
         return out
 
     # kept[u, r] - whether u's rank-r edge survives.

@@ -403,7 +403,7 @@ class Index:
             d_pad = self.store.d_pad
             fmt = QuantizedGraphIndex.pick_mode(cap, d_pad)
             bpd = d_pad if fmt == "sq8" else -(-d_pad // 4)   # bytes/row-edge
-            floor_bytes = cap * 16 * bpd + cap * bpd   # blocks + codes
+            floor_bytes = cap * 8 * bpd + cap * bpd   # floor blocks + codes
             max_gb = float(_os.environ.get("NGT_TPU_QG_MAX_GB", "9"))
             if floor_bytes > max_gb * (1 << 30):
                 from ngt_tpu.utils import logger

@@ -155,10 +155,13 @@ class Property:
     #: quantized-graph edge-tail refinement: sq8-score the adjacency tail
     #: (columns the HBM-budgeted neighbor blocks can't hold) of the exact
     #: top-k and keep the best `search_refine` for the final re-rank;
-    #: 0 = off.  Loop-free; measured at 1M it lifts eps=0 recall@10 from
-    #: ~0.968 toward the 0.998 tail-candidate ceiling (quant/qgraph.py
-    #: _tail_refine_body)
-    search_refine: int = 32
+    #: 0 = off, -1 = AUTO: min(64, e_max - eb) — the refinement budget
+    #: should scale with the truncated tail (round-4: at eb=16 refine=64
+    #: reaches 0.9977 vs 0.9858 at refine=32; at eb=48 refine=64 adds
+    #: nothing over 32 and costs ~7% qps).  Loop-free; measured at 1M it
+    #: lifts eps=0 recall@10 from ~0.968 toward the 0.998 tail-candidate
+    #: ceiling (quant/qgraph.py _tail_refine_body)
+    search_refine: int = -1
     #: insertion-search backend: "auto"/"exact" = f32 row gathers (the
     #: reference's semantics exactly); "sq8" = int8 neighbor blocks + exact
     #: re-rank (opt-in: block maintenance outweighs the traversal savings on

@@ -243,11 +243,14 @@ class QuantizedGraphIndex:
     ``ngtqg quantize``; NGTQG::Index::quantize, QuantizedGraph.h:456-475);
     ``mode="auto"`` selects the format by HBM budget."""
 
-    #: below this sq8 block width the recall loss from narrow hops exceeds
-    #: pq4's 4-bit quantization noise at ~4x the width (eb 32->24 alone
-    #: costs 3.4 recall pts, BASELINE.md round 2e; pq4's code distortion is
-    #: recovered by the exact re-rank + tail refine)
-    SQ8_MIN_EB = 24
+    #: minimum sq8 block width the auto-format keeps sq8 down to.  Round-4
+    #: 1M A/B: sq8 at the eb=16 FLOOR with tail refine holds 0.9858@32k qps
+    #: (0.9907 with ef=14) while pq4 at eb=64 collapses to 0.73-0.81 on the
+    #: clone corpus — 4-bit codes cannot separate sigma=12 clones (the
+    #: round-2j IVFPQ finding), so narrow sq8 + refine beats wide pq4
+    #: wherever the corpus has near-duplicates.  pq4 remains the explicit
+    #: option for smooth corpora / archival parity.
+    SQ8_MIN_EB = 8
 
     def __init__(self, index, pq: ProductQuantizer | None, codes: np.ndarray,
                  mode: str = "pq4", sq_scale: float = 1.0,
@@ -321,8 +324,14 @@ class QuantizedGraphIndex:
         valid_dev = jnp.asarray(store._valid[:cap])
         step = cls.DEV_ENCODE_CHUNK
         if mode == "sq8":
-            scale = float(
-                _absmax_dev(mirror.x, valid_dev, normalize=normalize)
+            scale = max(
+                float(
+                    _absmax_dev(
+                        mirror.x[i : i + step], valid_dev[i : i + step],
+                        normalize=normalize,
+                    )
+                )
+                for i in range(0, cap, step)
             ) / 127.0
             scale = max(scale, 1e-30)
             inv = jnp.float32(1.0 / scale)
@@ -548,6 +557,17 @@ class QuantizedGraphIndex:
                 setattr(self, attr, None)
         self._blocks_for = None
 
+    def _resolve_refine(self, e_max: int, eb: int) -> int:
+        """search_refine resolution: explicit >= 0 honored; -1 = AUTO,
+        min(64, e_max - eb).  The refinement budget should track the tail
+        the block truncation cut: at eb=16 refine=64 buys +1.2 recall pts
+        over 32 (0.9977 vs 0.9858 at 1M); at eb=48 (tail 32) anything past
+        32 adds nothing and costs ~7% qps (BASELINE.md rounds 3a/4)."""
+        r = int(self.index.prop.search_refine)
+        if r >= 0:
+            return r
+        return min(64, max(0, int(e_max) - int(eb)))
+
     def _effective_block_edges(self) -> int:
         if self.block_edges > 0:
             return min(self.block_edges, self.index.graph.e_max)
@@ -560,7 +580,11 @@ class QuantizedGraphIndex:
         # (recall@10 0.966 vs 0.949 at eb=32 for ~4% qps; BASELINE.md 2f)
         gb = float(os.environ.get("NGT_TPU_QG_BLOCK_GB", "6"))
         budget = int(gb * (1 << 30)) // max(cap * m, 1)
-        return int(min(self.index.graph.e_max, max(16, budget)))
+        # width floor 16 while it fits the budget; under pressure (4M+ sq8)
+        # respect the budget down to 8 — tail refine buys the truncation
+        # back (round-4 A/B: eb=16+refine=32 holds 0.9858 at 1M)
+        floor = max(8, min(16, budget))
+        return int(min(self.index.graph.e_max, max(floor, budget)))
 
     def _shrink_blocks(self) -> bool:
         """Halve the neighbor-block width after a device OOM (shared-chip
@@ -572,9 +596,9 @@ class QuantizedGraphIndex:
             self._blocks_dev.delete()
             self._blocks_dev = None
             self._blocks_for = None
-        if eb <= 16:
+        if eb <= 8:
             return False
-        self.block_edges = max(16, eb // 2)
+        self.block_edges = max(8, eb // 2)
         from ngt_tpu.utils import logger
 
         logger.warning(
@@ -749,7 +773,7 @@ class QuantizedGraphIndex:
         ids, dists = _exact_rerank(
             mirror.x, q, res.ids, res.ids >= 0, idx.store.metric, int(size)
         )
-        refine = max(int(idx.prop.search_refine), 0)
+        refine = self._resolve_refine(mirror.nbr.shape[1], eb)
         if refine > 0 and mirror.nbr.shape[1] > eb:
             ids, dists = _tail_refine(
                 mirror.x, self._dev_codes(), mirror.nbr, mirror.valid, q,
@@ -800,7 +824,7 @@ class QuantizedGraphIndex:
             expand=expand if expand > 0 else max(idx.prop.search_expand, 1),
             normalize_q=idx.store.metric in
             (DistanceType.COSINE, DistanceType.ANGLE),
-            refine=max(int(idx.prop.search_refine), 0),
+            refine=self._resolve_refine(mirror.nbr.shape[1], eb),
             eb=int(eb),
             kr=int(kr),
             **mkw,

@@ -222,7 +222,12 @@ class VectorStore:
             if self.object_type == ObjectType.BFLOAT16:
                 dx = jnp.asarray(x, dtype=jnp.bfloat16)
             else:
-                dx = jnp.asarray(x)
+                # narrowest lossless dtype (u8 for integral corpora): 4x
+                # less upload + resident HBM; distance entry points cast
+                # to f32 in-program, so results are bit-identical
+                from ngt_tpu.utils import narrow_host
+
+                dx = jnp.asarray(narrow_host(x))
             self._device_x = dx
             self._device_valid = jnp.asarray(self._valid)
             if self.metric in (
@@ -236,6 +241,20 @@ class VectorStore:
                 self._device_sqnorm = None
             self._dirty = False
         return self._device_x, self._device_valid, self._device_sqnorm
+
+    def release_device(self) -> None:
+        """Drop the store's cached device arrays (the linear-search upload
+        is 2 GiB of f32 at 4M rows; a search-only deployment that computed
+        its ground truth once should not keep it resident)."""
+        for attr in ("_device_x", "_device_valid", "_device_sqnorm"):
+            buf = getattr(self, attr, None)
+            if buf is not None:
+                try:
+                    buf.delete()
+                except Exception:
+                    pass
+            setattr(self, attr, None)
+        self._dirty = True
 
     def prepare_queries_host(self, q: np.ndarray) -> np.ndarray:
         """Pad (and for normalized metrics, normalize) queries on the host

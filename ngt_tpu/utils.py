@@ -75,3 +75,30 @@ class Timer:
         self.time = 0.0
         self._t0 = None
         return self
+
+
+def narrow_host(xh):
+    """The narrowest LOSSLESS host representation of an f32 matrix
+    (uint8 / int16 / f16 / unchanged).  Never lossy — used so integral
+    (SIFT-like) corpora move over the tunnel and sit in HBM at 1 B/dim
+    while every distance entry point still computes in f32."""
+    import numpy as np
+
+    try:
+        if xh.dtype == np.float32 and xh.size:
+            mn = float(xh.min())
+            mx = float(xh.max())
+            if 0 <= mn and mx <= 255:
+                xi = xh.astype(np.uint8)
+                if np.array_equal(xi.astype(np.float32), xh):
+                    return xi
+            elif -32768 <= mn and mx <= 32767:
+                xi = xh.astype(np.int16)
+                if np.array_equal(xi.astype(np.float32), xh):
+                    return xi
+            x16 = xh.astype(np.float16)
+            if np.array_equal(x16.astype(np.float32), xh):
+                return x16
+    except (ValueError, OverflowError):  # non-finite min/max etc.
+        pass
+    return xh

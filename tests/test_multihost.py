@@ -12,6 +12,12 @@ import socket
 import subprocess
 import sys
 
+import pytest
+
+# 2-process jax.distributed spawns are the suite's most load-sensitive
+# tests (deadlock-prone under CPU contention) — slow lane
+pytestmark = pytest.mark.slow
+
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "multihost_worker.py")
 

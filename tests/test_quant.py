@@ -409,12 +409,14 @@ def test_pick_mode_budget(monkeypatch):
     monkeypatch.setenv("NGT_TPU_QG_BLOCK_GB", "6")
     assert QGI.pick_mode(1 << 20, 128) == "sq8"    # eb=48 at 1M
     assert QGI.pick_mode(2 << 20, 128) == "sq8"    # eb=25 at 2M
-    assert QGI.pick_mode(4 << 20, 128) == "pq4"    # eb=12 at 4M
-    assert QGI.pick_mode(16 << 20, 128) == "pq4"
+    # narrow sq8 + tail refine beats pq4 on clone-heavy data (round-4 A/B)
+    # so sq8 holds down to the eb=8 floor: 4M (eb=12) stays sq8
+    assert QGI.pick_mode(4 << 20, 128) == "sq8"
+    assert QGI.pick_mode(16 << 20, 128) == "pq4"   # eb=3 < floor -> pq4
     # unpackable dims stay sq8
     assert QGI.pick_mode(16 << 20, 129) == "sq8"
-    monkeypatch.setenv("NGT_TPU_QG_BLOCK_GB", "24")
-    assert QGI.pick_mode(4 << 20, 128) == "sq8"    # bigger budget defers
+    monkeypatch.setenv("NGT_TPU_QG_BLOCK_GB", "1")
+    assert QGI.pick_mode(4 << 20, 128) == "pq4"    # eb=2 under a 1 GiB cap
 
 
 def test_auto_route_picks_pq4_when_budget_tight(rng, monkeypatch):

@@ -348,6 +348,7 @@ def test_sharded_index_distributed_layout_roundtrip(tmp_path):
     np.testing.assert_allclose(dists, dists2, rtol=1e-6)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_recall_parity_with_single_device():
     """Mesh-sharded search reaches >= single-device recall at equal ε (the
@@ -385,6 +386,7 @@ def test_sharded_recall_parity_with_single_device():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_recall_100k():
     """100k-scale 8-device fan-out: sharded search must hold >= 0.95
