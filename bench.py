@@ -590,29 +590,54 @@ def bench_4m(base5k, timed):
         gt_ids, _ = idx.batch_linear_search(queries, size=10)
         gt_ids = np.asarray(gt_ids)
         np.save(gt_f, gt_ids)
-    # the GT scan cached a full f32 corpus copy on device — 2 GiB at 4M
-    # that the search phase badly needs back
+    # HBM diet for the search phase (the 16 GB chip is multi-tenant and the
+    # 4M arm is the tightest fit):
+    # 1. drop the GT scan's cached device corpus copy (u8 after the narrow-
+    #    upload change, but still redundant with the mirror's);
+    # 2. materialize the deferred adjacency now — that frees the deferred
+    #    f32 distance copy (1.34 GiB; the ids stay, the mirror aliases them);
+    # 3. cap the neighbor-block budget at 4 GiB (eb=8): the round-4d sweep
+    #    showed floor-width blocks + AUTO refine hold the 0.99 tier, and a
+    #    4.3 GiB block tensor survives tenant pressure a 6.4 GiB one doesn't.
     idx.store.release_device()
-
+    _ = idx.graph.degree
+    old_gb = os.environ.get("NGT_TPU_QG_BLOCK_GB")
+    os.environ["NGT_TPU_QG_BLOCK_GB"] = os.environ.get(
+        "NGT_TPU_BENCH_4M_GB", "4"
+    )
     best = None
-    for eps, ef in ((0.0, 0), (0.0, 14), (0.0, 24), (0.01, 0)):
-        ids, dt = timed(
-            lambda e=eps, f=ef: idx.batch_search(
-                queries, size=10, epsilon=e, ef=f
+    try:
+        for eps, ef in ((0.0, 0), (0.0, 14), (0.0, 24), (0.01, 0)):
+            try:
+                ids, dt = timed(
+                    lambda e=eps, f=ef: idx.batch_search(
+                        queries, size=10, epsilon=e, ef=f
+                    )
+                )
+            except Exception as exc:
+                print(f"# 4M row eps={eps} ef={ef} failed: {exc}",
+                      file=sys.stderr)
+                continue
+            rec = recall_at_k(np.asarray(ids), gt_ids, 10)
+            qps = n_q / dt
+            fmt = idx._qg.mode if idx._qg is not None else "exact"
+            eb = (
+                idx._qg._effective_block_edges() if idx._qg is not None else 0
             )
-        )
-        rec = recall_at_k(np.asarray(ids), gt_ids, 10)
-        qps = n_q / dt
-        fmt = idx._qg.mode if idx._qg is not None else "exact"
-        print(
-            f"# 4M qg-{fmt}(auto) eps={eps} ef={ef} recall@10={rec:.4f} "
-            f"qps={qps:.0f}",
-            file=sys.stderr,
-        )
-        if rec >= 0.98 and (best is None or qps > best[0]):
-            best = (qps, rec)
-        if best is not None and ef == 0 and eps == 0.0:
-            break   # eps=0 already certifies the tier; skip costlier rows
+            print(
+                f"# 4M qg-{fmt}(auto) eb={eb} eps={eps} ef={ef} "
+                f"recall@10={rec:.4f} qps={qps:.0f}",
+                file=sys.stderr,
+            )
+            if rec >= 0.98 and (best is None or qps > best[0]):
+                best = (qps, rec)
+            if best is not None and ef == 0 and eps == 0.0:
+                break   # eps=0 already certifies the tier
+    finally:
+        if old_gb is None:
+            os.environ.pop("NGT_TPU_QG_BLOCK_GB", None)
+        else:
+            os.environ["NGT_TPU_QG_BLOCK_GB"] = old_gb
     release_index(idx)
     if best is None:
         return {"qps98": None, "rec98": None, "build_s": build_s}
