@@ -434,21 +434,39 @@ class GraphOptimizer:
     queries: np.ndarray | None = field(default=None, repr=False)
 
     def execute(self, index) -> None:
+        import os as _os
+        import sys as _sys
+        import time as _t
+
         from ngt_tpu.graph import reconstruct as R
         from ngt_tpu.properties import GraphType
+
+        prof = _os.environ.get("NGT_TPU_BUILD_PROFILE", "") == "1"
+        t0 = _t.time()
+
+        def mark(label):
+            nonlocal t0
+            if prof:
+                print(f"# onng {label}={_t.time()-t0:.1f}s",
+                      file=_sys.stderr, flush=True)
+                t0 = _t.time()
 
         n = index.store.repository_size
         graph = index.graph
         # KNNG/BKNNG inputs must become ANNG first (GraphOptimizer.h:258-264)
         if index.prop.graph_type in (GraphType.KNNG, GraphType.BKNNG):
             graph = R.convert_to_anng(graph, n)
+        _ = graph.degree   # materialize any deferred adjacency, timed apart
+        mark("materialize")
         onng = R.reconstruct_graph(
             graph, n, out_edges=self.out_edges, in_edges=self.in_edges
         )
+        mark("reconstruct")
         if self.adjust_paths:
             onng = R.adjust_paths(
                 onng, n, min_edges=self.min_edges_after_adjustment
             )
+            mark("adjust_paths")
         index.graph = onng
         index.prop.graph_type = GraphType.ONNG
         index.prop.outgoing_edge = self.out_edges

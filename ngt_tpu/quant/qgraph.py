@@ -324,6 +324,19 @@ class QuantizedGraphIndex:
         valid_dev = jnp.asarray(store._valid[:cap])
         step = cls.DEV_ENCODE_CHUNK
         if mode == "sq8":
+            if not normalize and str(mirror.x.dtype) == "uint8":
+                # integral corpus, narrow mirror: the CODES ARE THE CORPUS
+                # (scale 1, u8) — zero extra HBM for the code matrix and the
+                # traversal scores EXACT distances (no quantization loss;
+                # sq8's max/127 scale costs ~1 bit on 0..255 data, which is
+                # admission noise exactly at the near-tie margins that
+                # dominate clone-heavy corpora)
+                self = cls(index, None, np.zeros((cap, d_pad), np.uint8),
+                           mode="sq8", sq_scale=1.0)
+                self._codes_dev = mirror.x
+                self._codes_mut = store.mutation_count
+                self._codes_host_stale = True
+                return self
             scale = max(
                 float(
                     _absmax_dev(
@@ -462,6 +475,19 @@ class QuantizedGraphIndex:
     # ------------------------------------------------------------------
     def _encode_rows(self, x_live: np.ndarray) -> np.ndarray:
         if self.mode == "sq8":
+            if self.codes.dtype == np.uint8:
+                # u8-exact codes (integral corpus, scale 1): keep exactness
+                # while the data allows; an out-of-range mutation falls back
+                # to scaled int8 via a full re-encode
+                if (
+                    len(x_live) == 0
+                    or (
+                        np.all((x_live >= 0) & (x_live <= 255))
+                        and np.array_equal(np.rint(x_live), x_live)
+                    )
+                ):
+                    return np.rint(x_live).astype(np.uint8)
+                self.codes = self.codes.astype(np.int8)  # switch schemes
             x_live = self._sq8_rows(self.index, x_live)
             peak = float(np.abs(x_live).max()) if len(x_live) else 1.0
             if peak > 127.0 * self.sq_scale:
@@ -505,7 +531,10 @@ class QuantizedGraphIndex:
         (save, sharded distribution)."""
         if getattr(self, "_codes_host_stale", False):
             if self._codes_dev is not None:
-                self.codes = np.asarray(self._codes_dev)
+                # np.array, not asarray: the download must be WRITABLE (the
+                # re-encode path mutates it; asarray of a jax array is a
+                # read-only view)
+                self.codes = np.array(self._codes_dev)
                 self._codes_host_stale = False
             else:
                 # device codes were released before materialization:
@@ -543,13 +572,15 @@ class QuantizedGraphIndex:
                 self._codes_host_stale = False
         mirror = getattr(self.index, "_mirror", None)
         mirror_nbr = getattr(mirror, "nbr", None)
+        mirror_x = getattr(mirror, "x", None)
         for attr in ("_codes_dev", "_blocks_dev", "_nbr_eb", "_cb_dev",
                      "_mean_dev"):
             buf = getattr(self, attr, None)
             if buf is not None:
                 # never delete a buffer the exact-path mirror still owns
-                # (a full-width adjacency slice can alias mirror.nbr)
-                if buf is not mirror_nbr:
+                # (a full-width adjacency slice can alias mirror.nbr, and
+                # u8-exact codes ARE mirror.x)
+                if buf is not mirror_nbr and buf is not mirror_x:
                     try:
                         buf.delete()
                     except Exception:
@@ -913,7 +944,8 @@ class QuantizedGraphIndex:
         mode = str(st["mode"]) if "mode" in st else "pq4"
         if mode == "sq8":
             codes = np.zeros(
-                (idx.store._x.shape[0], st["codes"].shape[1]), np.int8
+                (idx.store._x.shape[0], st["codes"].shape[1]),
+                st["codes"].dtype,   # int8, or uint8 for u8-exact codes
             )
             codes[: st["codes"].shape[0]] = st["codes"]
             return cls(idx, None, codes, mode="sq8",

@@ -829,3 +829,54 @@ def test_ivfpq_dynamic_centroids(rng):
         assert back.centroid_mode == "dynamic"
         assert back.global_range == pytest.approx(dyn.global_range)
         assert len(back.centroids) == len(dyn.centroids)
+
+
+def test_u8_exact_codes_integral_corpus(rng, monkeypatch):
+    """Integral corpora: the sq8 codes ARE the narrow mirror (shared u8
+    buffer, scale 1) — zero extra HBM for the code matrix and EXACT
+    traversal scoring (sq8's max/127 scale loses ~1 bit on 0..255 data).
+    Save/open preserves the scheme; a non-integral mutation switches to
+    scaled int8 codes cleanly."""
+    import tempfile
+    import shutil
+
+    from ngt_tpu.quant.qgraph import QuantizedGraphIndex
+
+    data = np.rint(
+        np.clip(rng.normal(size=(2000, 32)) * 20 + 100, 0, 255)
+    ).astype(np.float32)
+    q = data[rng.choice(2000, 32)] + rng.normal(size=(32, 32)).astype(
+        np.float32
+    )
+    idx = ngt_tpu.create(None, dimension=32)
+    idx.batch_insert(data, build=True)
+    gt, _ = idx.batch_linear_search(q, size=10)
+    qg = QuantizedGraphIndex.quantize(idx, mode="sq8")
+    assert qg._codes_dev is idx._mirror.x
+    assert qg.sq_scale == 1.0
+    i1, _ = qg.batch_search(q, size=10, epsilon=0.05)
+    r1 = recall_at_k(np.asarray(i1), np.asarray(gt), 10)
+
+    monkeypatch.setenv("NGT_TPU_QG_HOST_QUANTIZE", "1")
+    qg2 = QuantizedGraphIndex.quantize(idx, mode="sq8")
+    monkeypatch.delenv("NGT_TPU_QG_HOST_QUANTIZE")
+    assert qg2.codes.dtype == np.int8
+    i2, _ = qg2.batch_search(q, size=10, epsilon=0.05)
+    r2 = recall_at_k(np.asarray(i2), np.asarray(gt), 10)
+    assert r1 >= r2 - 1e-9
+
+    d = tempfile.mkdtemp()
+    try:
+        qg.save(d)
+        qg3 = QuantizedGraphIndex.open(d)
+        assert qg3.codes.dtype == np.uint8 and qg3.sq_scale == 1.0
+        i3, _ = qg3.batch_search(q, size=10, epsilon=0.05)
+        assert (np.asarray(i3) == np.asarray(i1)).mean() > 0.99
+    finally:
+        shutil.rmtree(d)
+    # non-integral mutation switches schemes without breaking the search
+    idx.batch_insert(data[:8] + np.float32(1.0 / 3.0), build=True)
+    i4, _ = qg.batch_search(q, size=10, epsilon=0.05)
+    assert qg.codes.dtype == np.int8
+    r4 = recall_at_k(np.asarray(i4), np.asarray(gt), 10)
+    assert r4 >= r2 - 0.02
