@@ -602,12 +602,21 @@ def bench_4m(base5k, timed):
     idx.store.release_device()
     _ = idx.graph.degree
     old_gb = os.environ.get("NGT_TPU_QG_BLOCK_GB")
+    # eb=12 blocks (6.4 GiB at 4M) fit since the donated slab-fill gather
+    # capped the transient (round-4g); the OOM shrink ladder still covers
+    # tenant pressure by stepping 12 -> 8
     os.environ["NGT_TPU_QG_BLOCK_GB"] = os.environ.get(
-        "NGT_TPU_BENCH_4M_GB", "4"
+        "NGT_TPU_BENCH_4M_GB", "6"
     )
     best = None
     try:
-        for eps, ef in ((0.0, 0), (0.0, 14), (0.0, 24), (0.01, 0)):
+        # the certified >=0.98 point is ef=96/rexp=10 at eb=12 (round-4g:
+        # 0.9836 @ 10.7k qps); cheaper rows map the rest of the curve
+        for eps, ef, rexp in (
+            (0.0, 0, 3.0), (0.0, 24, 3.0), (0.0, 48, 5.0), (0.0, 96, 10.0),
+        ):
+            old_rexp = idx.prop.result_expansion
+            idx.prop.result_expansion = rexp
             try:
                 ids, dt = timed(
                     lambda e=eps, f=ef: idx.batch_search(
@@ -618,6 +627,8 @@ def bench_4m(base5k, timed):
                 print(f"# 4M row eps={eps} ef={ef} failed: {exc}",
                       file=sys.stderr)
                 continue
+            finally:
+                idx.prop.result_expansion = old_rexp
             rec = recall_at_k(np.asarray(ids), gt_ids, 10)
             qps = n_q / dt
             fmt = idx._qg.mode if idx._qg is not None else "exact"
@@ -625,14 +636,12 @@ def bench_4m(base5k, timed):
                 idx._qg._effective_block_edges() if idx._qg is not None else 0
             )
             print(
-                f"# 4M qg-{fmt}(auto) eb={eb} eps={eps} ef={ef} "
+                f"# 4M qg-{fmt}(auto) eb={eb} eps={eps} ef={ef} rexp={rexp} "
                 f"recall@10={rec:.4f} qps={qps:.0f}",
                 file=sys.stderr,
             )
             if rec >= 0.98 and (best is None or qps > best[0]):
                 best = (qps, rec)
-            if best is not None and ef == 0 and eps == 0.0:
-                break   # eps=0 already certifies the tier
     finally:
         if old_gb is None:
             os.environ.pop("NGT_TPU_QG_BLOCK_GB", None)

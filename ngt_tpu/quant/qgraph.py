@@ -187,6 +187,25 @@ def _qg_fused_search(
     )
 
 
+@jax.jit
+def _gather_blocks(codes, nbr):
+    """Per-node neighbor code blocks, gathered and flattened in ONE fused
+    program (see _dev_blocks for the layout rationale)."""
+    safe = jnp.clip(nbr, 0, codes.shape[0] - 1)
+    return jnp.take(codes, safe, axis=0).reshape(nbr.shape[0], -1)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _fill_blocks_slab(blocks, codes, nbr_slab, start):
+    """Donated slab write into the preallocated block tensor: the one-shot
+    gather transiently needs ~2x the block bytes (gather output + layout
+    copy), which is exactly what kept eb>=12 from ever fitting at 4M.
+    Slab-filling caps the transient at one slab."""
+    safe = jnp.clip(nbr_slab, 0, codes.shape[0] - 1)
+    rows = jnp.take(codes, safe, axis=0).reshape(nbr_slab.shape[0], -1)
+    return jax.lax.dynamic_update_slice(blocks, rows, (start, jnp.int32(0)))
+
+
 def _norm_rows(xr, normalize):
     if normalize:
         nrm = jnp.sqrt(jnp.sum(xr * xr, axis=1, keepdims=True))
@@ -665,9 +684,23 @@ class QuantizedGraphIndex:
             self._blocks_dev = None
         self._blocks_for = key
         nbr = mirror.nbr[:, :eb]
-        safe = jnp.clip(nbr, 0, cap - 1)
-        blocks = jnp.take(codes, safe, axis=0)        # [N, eb, M]
-        blocks = blocks.reshape(cap, -1)
+        m = codes.shape[1]
+        if cap * eb * m <= (2 << 30):
+            # one fused gather+reshape (an EAGER take would materialize a
+            # [N, eb, M] int8 intermediate in padded tile layout — 4x the
+            # logical bytes at small eb)
+            blocks = _gather_blocks(codes, nbr)
+        else:
+            # large blocks: preallocate once and slab-fill with donation —
+            # the one-shot gather transiently costs ~2x the block bytes
+            # (output + layout copy), the silent ghost behind the round-4
+            # eb>=12 OOMs at 4M (6.4 GiB blocks needed ~13 GiB to gather)
+            blocks = jnp.zeros((cap, eb * m), codes.dtype)
+            step = 1 << 19
+            for s in range(0, cap, step):
+                blocks = _fill_blocks_slab(
+                    blocks, codes, nbr[s : s + step], jnp.int32(s)
+                )
         self._blocks_dev = blocks
         self._nbr_eb = nbr
         return blocks, nbr
