@@ -146,6 +146,11 @@ _fused_insert_search_sq8_jit = jax.jit(
 
 @jax.jit
 def _make_codes_blocks(x, nbr, inv_scale):
+    # NOTE: these 3-D [cap, E, D] int8 blocks sit in padded tile layout
+    # (second-minor dim rounds up to 32 — ~1.6x bytes at E=40).  Acceptable
+    # for this OPT-IN insertion-search path at append scales; the
+    # production search mirror uses the 2-D slab-filled layout instead
+    # (quant/qgraph._fill_blocks_slab).
     codes = jnp.clip(
         jnp.round(x.astype(jnp.float32) * inv_scale), -127, 127
     ).astype(jnp.int8)
