@@ -602,18 +602,20 @@ def bench_4m(base5k, timed):
     idx.store.release_device()
     _ = idx.graph.degree
     old_gb = os.environ.get("NGT_TPU_QG_BLOCK_GB")
-    # eb=12 blocks (6.4 GiB at 4M) fit since the donated slab-fill gather
+    # eb=16 blocks (8.6 GiB at 4M) fit since the donated slab-fill gather
     # capped the transient (round-4g); the OOM shrink ladder still covers
-    # tenant pressure by stepping 12 -> 8
+    # tenant pressure by stepping 16 -> 8
     os.environ["NGT_TPU_QG_BLOCK_GB"] = os.environ.get(
-        "NGT_TPU_BENCH_4M_GB", "6"
+        "NGT_TPU_BENCH_4M_GB", "8"
     )
     best = None
     try:
-        # the certified >=0.98 point is ef=96/rexp=10 at eb=12 (round-4g:
-        # 0.9836 @ 10.7k qps); cheaper rows map the rest of the curve
+        # the certified >=0.98 point is ef=72/rexp=8 at eb=16 (round-4i:
+        # 0.9843 @ 11.8k qps; ef=96 reaches 0.9882 @ 10.0k); cheaper rows
+        # map the rest of the curve
         for eps, ef, rexp in (
-            (0.0, 0, 3.0), (0.0, 24, 3.0), (0.0, 48, 5.0), (0.0, 96, 10.0),
+            (0.0, 0, 3.0), (0.0, 24, 3.0), (0.0, 48, 5.0), (0.0, 72, 8.0),
+            (0.0, 96, 10.0),
         ):
             old_rexp = idx.prop.result_expansion
             idx.prop.result_expansion = rexp
