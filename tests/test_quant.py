@@ -880,3 +880,21 @@ def test_u8_exact_codes_integral_corpus(rng, monkeypatch):
     assert qg.codes.dtype == np.int8
     r4 = recall_at_k(np.asarray(i4), np.asarray(gt), 10)
     assert r4 >= r2 - 0.02
+
+
+def test_resolve_refine_auto(rng):
+    """search_refine=-1 resolves to min(64, e_max - eb); explicit values
+    are honored (BASELINE round-4d geometry)."""
+    data = rng.normal(size=(600, 24)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=24)
+    idx.batch_insert(data, build=True)
+    qg = QuantizedGraphIndex.quantize(idx, mode="sq8")
+    assert idx.prop.search_refine == -1
+    assert qg._resolve_refine(80, 48) == 32
+    assert qg._resolve_refine(80, 16) == 64
+    assert qg._resolve_refine(80, 8) == 64
+    assert qg._resolve_refine(16, 16) == 0
+    idx.prop.search_refine = 7
+    assert qg._resolve_refine(80, 16) == 7
+    idx.prop.search_refine = 0
+    assert qg._resolve_refine(80, 16) == 0
