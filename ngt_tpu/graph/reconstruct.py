@@ -294,18 +294,21 @@ def _shortcut_hits(nbr_blk, dist_blk, nbr_all, dist_all, e):
     return hit                                          # [blk, v_rank, w_rank]
 
 
-@functools.partial(jax.jit, static_argnames=("e", "block"))
-def _detect_shortcuts_all(nbr_all, dist_all, *, e, block):
+@functools.partial(jax.jit, static_argnames=("e", "block", "eb"))
+def _detect_shortcuts_all(nbr_all, dist_all, *, e, block, eb=None):
     """Whole-graph shortcut detection in ONE device program: lax.scan over
     node tiles, each tile's [block, e, e] hit tensor BIT-PACKED on device
     along the w axis (np.packbits layout: big-endian per byte).  The
     per-block eager version paid one dispatch + an 8x-bigger bool download
     per tile (~205 dispatches / 1.7 GB at 100k, e=130 — phase 1 was 97 s
     of the ONNG pipeline; fused+packed it is one dispatch + e/8 bytes per
-    edge).  nbr_all rows must be padded to a multiple of ``block``."""
+    edge).  nbr_all rows must be padded to a multiple of ``block``.
+    ``eb`` (multiple of 8, >= e) pads the packed w axis so the device
+    phase-2 pass can slice whole snapshot windows of bytes."""
     n = nbr_all.shape[0]
     ntiles = n // block
-    eb = ((e + 7) // 8) * 8
+    if eb is None:
+        eb = ((e + 7) // 8) * 8
     weights = jnp.array([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
 
     def body(_, ti):
@@ -325,10 +328,123 @@ def _detect_shortcuts_all(nbr_all, dist_all, *, e, block):
     return out.reshape(ntiles * block, e, eb // 8)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("e", "block", "min_edges", "snap")
+)
+def _adjust_phase2_dev(nbr_all, deg_all, cand, *, e, block, min_edges, snap):
+    """Device rank-ordered re-insertion — phase 2 of path adjustment under
+    the R(C) visibility rule (C = ``snap``, a multiple of 8 so snapshot
+    windows align with the candidate bit-packing; see the native
+    adjust_paths_phase2 docstring for the rule).  Replaces the 2.2 GB
+    candidate download + host replay (cand_download 220 s + phase2 80 s of
+    the 1M ONNG profile, BASELINE.md round 4h): the candidate tensor never
+    leaves HBM.
+
+    Structure: fori over snapshot windows; within a window, lax.scan over
+    node tiles gathers each tile's neighbor rows + snapshot-kept rows ONCE
+    ([block, e, e]), then an inner fori over the window's ranks decides
+    edges with the tile's own kept state live in-registers.  Total compute
+    is n*e^3 byte-compares — the same envelope as detection — and gather
+    traffic is (e/C) detection-equivalents, which is why C is worth
+    raising once measured.
+
+      nbr_all [n_pad, >=e] int32   deg_all [n_pad] int32
+      cand    [n_pad, e, ceil(e/C)*C/8] uint8 (w axis packed, big-endian)
+    Returns kept [n_pad, e] bool."""
+    n = nbr_all.shape[0]
+    ntiles = n // block
+    nchunks = (e + snap - 1) // snap
+    nbr_e = nbr_all[:, :e]
+    p_idx = jnp.arange(e, dtype=jnp.int32)
+    kept0 = jnp.zeros((n, e), jnp.bool_)
+    cnt0 = jnp.zeros((n,), jnp.int32)
+
+    def chunk_body(ci, carry):
+        kept, cnt = carry  # chunk-start state == the snapshot
+        r0 = ci * snap
+
+        def tile_body(_, ti):
+            s = ti * block
+            nbr_blk = jax.lax.dynamic_slice(nbr_e, (s, 0), (block, e))
+            deg_blk = jax.lax.dynamic_slice(deg_all, (s,), (block,))
+            kept_blk = jax.lax.dynamic_slice(kept, (s, 0), (block, e))
+            cnt_blk = jax.lax.dynamic_slice(cnt, (s,), (block,))
+            cbytes = jax.lax.dynamic_slice(
+                cand, (s, 0, ci * (snap // 8)), (block, e, snap // 8)
+            )
+            safe_v = jnp.clip(nbr_blk, 0, n - 1)
+            v_nbrs = jnp.take(nbr_e, safe_v, axis=0)     # [block, e_v, e_p]
+            v_snap = jnp.take(kept, safe_v, axis=0)      # [block, e_v, e_p]
+
+            def micro(j, mc):
+                kept_blk, cnt_blk = mc
+                r = r0 + j
+                w = jax.lax.dynamic_slice(nbr_blk, (0, r), (block, 1))
+                eq = v_nbrs == w[:, :, None]             # [block, e_v, e_p]
+                # visibility: decided (< r0) via snapshot, in-window
+                # (< r) via presence; >= r never
+                window = (p_idx >= r0) & (p_idx < r)
+                inner = jnp.any(eq & (v_snap | window[None, None, :]), axis=2)
+                byte = jax.lax.dynamic_slice(
+                    cbytes, (0, 0, j // 8), (block, e, 1)
+                )[..., 0]
+                uv = ((byte >> (7 - (j % 8)).astype(jnp.uint8)) & 1) > 0
+                drop = jnp.any(inner & uv & kept_blk, axis=1)
+                has_edge = r < deg_blk
+                can_drop = cnt_blk + (deg_blk - r) > min_edges
+                keep_now = has_edge & ~(drop & can_drop)
+                kept_blk = jax.lax.dynamic_update_slice(
+                    kept_blk, keep_now[:, None], (0, r)
+                )
+                cnt_blk = cnt_blk + keep_now.astype(jnp.int32)
+                return kept_blk, cnt_blk
+
+            hi = jnp.minimum(snap, e - r0)
+            kept_blk, cnt_blk = jax.lax.fori_loop(
+                0, hi, micro, (kept_blk, cnt_blk)
+            )
+            return None, (kept_blk, cnt_blk)
+
+        _, (kept_t, cnt_t) = jax.lax.scan(
+            tile_body, None, jnp.arange(ntiles, dtype=jnp.int32)
+        )
+        return kept_t.reshape(n, e), cnt_t.reshape(n)
+
+    kept, _ = jax.lax.fori_loop(0, nchunks, chunk_body, (kept0, cnt0))
+    return kept
+
+
+@functools.partial(jax.jit, static_argnames=("e", "e_max", "cap"))
+def _kept_to_rows_dev(nbr_e, dist_e, kept, *, e, e_max, cap):
+    """Fuse the kept mask straight into normalized fixed-width rows on
+    device: the phase-2 output never leaves HBM either — only the final
+    [cap, e_max] adjacency comes back over the tunnel (vs the host path's
+    kept download + 3-array triple re-upload for the device sort)."""
+    n = nbr_e.shape[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, e), 0)
+    valid = kept & (nbr_e >= 0)
+    s = jnp.where(valid, rows, -1).reshape(-1)
+    t = jnp.where(valid, nbr_e, -1).reshape(-1)
+    d = jnp.where(valid, dist_e, jnp.inf).reshape(-1)
+    return _normalize_rows_dev(s, t, d, e_max=e_max, cap=cap)
+
+
 def adjust_paths(
     graph: GraphStore, n: int, min_edges: int = 0, block: int = 512,
+    snap: int | None = None,
 ) -> GraphStore:
-    """Shortcut reduction (reference adjustPathsEffectively, :197-386)."""
+    """Shortcut reduction (reference adjustPathsEffectively, :197-386).
+
+    Large graphs run BOTH phases plus row normalization on device under
+    the R(C) visibility rule (C = ``snap``; see adjust_paths_phase2 in
+    native/src): the packed candidate tensor (2.2 GB at 1M/e=130) and the
+    kept mask never cross the tunnel — only the final fixed-width rows come
+    back.  Small graphs (and the device-failure fallback) use the host
+    replay; when the device path was not engaged the host default stays
+    R(1), the exact historical rank-synchronous rule.  Env knobs:
+    NGT_TPU_ADJUST_DEVICE=0 reverts to host phase 2,
+    NGT_TPU_ADJUST_DEVICE_MIN (default 4M edge-cells) gates engagement,
+    NGT_TPU_ADJUST_SNAP (default 8, 0 = one full-width window) sets C."""
     import os as _os
     import sys as _sys
     import time as _t
@@ -351,6 +467,18 @@ def adjust_paths(
     deg = graph.degree[:n]
     mark("materialize")
 
+    env = _os.environ
+    use_dev = env.get("NGT_TPU_ADJUST_DEVICE", "1") != "0"
+    dev_min = int(env.get("NGT_TPU_ADJUST_DEVICE_MIN", str(1 << 22)))
+    use_dev = use_dev and n * e >= dev_min
+    if snap is None:
+        snap = int(env.get("NGT_TPU_ADJUST_SNAP", "8")) if use_dev else 1
+    if snap <= 0 or snap > e:
+        snap = e
+    # the device pass slices snapshot windows of whole bytes
+    snap8 = ((snap + 7) // 8) * 8
+    eb = ((e + snap8 - 1) // snap8) * snap8 if use_dev else None
+
     # phase 1: candidate detection — ONE fused device program (scan over
     # node tiles) returning the candidate tensor already BIT-PACKED along
     # the w axis ([u, v_rank, w_rank//8] uint8): an unpacked [n, e, e] bool
@@ -369,10 +497,45 @@ def adjust_paths(
         dist_p = np.concatenate(
             [dist_p, np.full((n_pad - n, dist_p.shape[1]), INF, dist_p.dtype)]
         )
-    cand_dev = _detect_shortcuts_all(
-        jnp.asarray(nbr_p), jnp.asarray(dist_p), e=e, block=block
-    )
+    nbr_dev = jnp.asarray(nbr_p)
+    dist_dev = jnp.asarray(dist_p)
+    cand_dev = _detect_shortcuts_all(nbr_dev, dist_dev, e=e, block=block,
+                                     eb=eb)
     mark("detect")
+
+    from ngt_tpu import native
+
+    if use_dev:
+        try:
+            deg_p = np.zeros(n_pad, np.int32)
+            deg_p[:n] = deg
+            kept_dev = _adjust_phase2_dev(
+                nbr_dev, jnp.asarray(deg_p), cand_dev,
+                e=e, block=block, min_edges=min_edges, snap=snap8,
+            )
+            del cand_dev  # 2 GB-class; free before the normalize sort
+            nbr2d, dist2d, deg2d = _kept_to_rows_dev(
+                nbr_dev[:, :e], dist_dev[:, :e], kept_dev,
+                e=e, e_max=graph.e_max, cap=n,
+            )
+            deg2 = np.asarray(deg2d)
+            mark("phase2_dev")
+            nbr2 = np.asarray(nbr2d)
+            dist2 = np.asarray(dist2d)
+            mark("rows_download")
+            out = GraphStore(max_edges=graph.e_max, capacity=max(n, 16))
+            out.nbr_ids[:n], out.nbr_dist[:n], out.degree[:n] = (
+                nbr2, dist2, deg2
+            )
+            out._has_node[:n] = graph._has_node[:n]
+            return out
+        except jax.errors.JaxRuntimeError as exc:
+            print(f"# adjust_paths: device phase 2 failed ({exc}); "
+                  "falling back to host replay", file=_sys.stderr,
+                  flush=True)
+            cand_dev = _detect_shortcuts_all(
+                nbr_dev, dist_dev, e=e, block=block, eb=eb
+            )
     cand_bits = np.asarray(cand_dev)[:n]
     del cand_dev
     mark("cand_download")
@@ -380,10 +543,12 @@ def adjust_paths(
     # phase 2: rank-ordered re-insertion.  Native single pass (per-node
     # id-sorted rows + binary-search pos lookup — seconds at 1M) with the
     # per-rank numpy loop as the toolchain-free fallback; both compute the
-    # same kept set (pinned by tests/test_reconstruct.py).
-    from ngt_tpu import native
-
-    kept = native.adjust_paths_phase2(nbr, deg, cand_bits, min_edges)
+    # same kept set (pinned by tests/test_reconstruct.py).  The snap period
+    # matches what the device pass would have used, so a fallback changes
+    # nothing about the result.
+    snap_eff = snap8 if use_dev else snap
+    kept = native.adjust_paths_phase2(nbr, deg, cand_bits, min_edges,
+                                      snap_period=snap_eff)
     mark("phase2")
     if kept is not None:
         src, col = np.nonzero(kept)
@@ -397,12 +562,20 @@ def adjust_paths(
         mark("normalize")
         return out
 
-    # kept[u, r] - whether u's rank-r edge survives.
+    # kept[u, r] - whether u's rank-r edge survives.  Implements the same
+    # R(C) rule as native/device: the u-row factor kept[us, vr] is live
+    # (ranks < r decided), the inner-edge factor reads the chunk-start
+    # snapshot for pos < r0 and the presence rule for pos in [r0, r).
     kept = np.zeros((n, e), bool)
+    kept_snap = np.zeros((n, e), bool)
     kept_count = np.zeros(n, np.int32)
+    r0 = 0
     # position of w (= u's rank-r edge target) inside v's row, for the
     # path-exists test kept[v, pos_vw]
     for r in range(e):
+        if r % snap_eff == 0:
+            kept_snap[:] = kept
+            r0 = r
         has_edge = r < deg
         if not has_edge.any():
             break
@@ -410,7 +583,7 @@ def adjust_paths(
         remaining = deg - r
         can_drop = (kept_count + remaining) > min_edges
         # does a kept 2-hop path exist? v must be an already-kept edge of u
-        # (ranks < r, kept) and v's edge to w must be kept as well
+        # (ranks < r, kept) and v's edge to w must be visible as well
         drop = np.zeros(n, bool)
         # unpack the w-axis bit for rank r (packbits is big-endian per byte)
         bit_r = (cand_bits[:, :, r >> 3] >> (7 - (r & 7))) & 1
@@ -423,7 +596,8 @@ def adjust_paths(
                 w_ids = nbr[us2, r]
                 # pos of w in v's row
                 pos = np.argmax(nbr[v_ids] == w_ids[:, None], axis=1)
-                vw_ok = (nbr[v_ids, pos] == w_ids) & kept[v_ids, pos]
+                vis = np.where(pos < r0, kept_snap[v_ids, pos], pos < r)
+                vw_ok = (nbr[v_ids, pos] == w_ids) & vis
                 hit_u = np.unique(us2[vw_ok])
                 drop[hit_u] = True
         drop &= can_drop & has_edge

@@ -367,6 +367,7 @@ class Index:
         quant/qgraph.py _dev_codes/_dev_blocks version keys)."""
         from ngt_tpu.graph.build import _SQ8_METRICS
 
+        self._qg_size_blocked = False
         mode = self.prop.search_mode
         if mode == "exact" or self.store.sparse:
             return None
@@ -408,18 +409,98 @@ class Index:
             if floor_bytes > max_gb * (1 << 30):
                 from ngt_tpu.utils import logger
 
+                self._qg_size_blocked = True
                 if not getattr(self, "_qg_size_warned", False):
                     self._qg_size_warned = True
                     logger.warning(
                         "%s mirror skipped: %d-row blocks need %.1f GiB "
                         "even at the width floor (> NGT_TPU_QG_MAX_GB=%g); "
-                        "use ShardedQG or search_mode='qg' to force",
+                        "auto-routing falls through to %s "
+                        "(ShardedQG or search_mode='qg' still force blocks)",
                         fmt, cap, floor_bytes / (1 << 30), max_gb,
+                        "an IVFPQ mirror"
+                        if self.prop.search_fallback == "ivfpq"
+                        else "the exact path",
                     )
                 return None
         if self._qg is None:
             self._qg = QuantizedGraphIndex.quantize(self, mode="auto")
         return self._qg
+
+    def _maybe_ivfpq(self):
+        """The auto crossover past the sq8/pq4 block ceiling: when
+        ``_maybe_qg`` skipped because even floor-width neighbor blocks
+        exceed the device HBM budget (~8M rows at 128d on one 16 GB chip),
+        "auto" routing maintains an IVFPQ mirror instead of dropping to the
+        exact traversal — the reference's own large-dataset answer is its
+        NGTQ index (README.md:31; Graph.h:290-349 is the graph-side memory
+        switch).  Opt out with properties.search_fallback="exact".  Env
+        knobs: NGT_TPU_AUTO_IVFPQ_NPROBE (default 32),
+        NGT_TPU_AUTO_IVFPQ_EXP (result expansion, default 16),
+        NGT_TPU_AUTO_IVFPQ_RAW_GB (device-raw budget, default 4; larger
+        corpora spill raw vectors to an mmap file for host refine).
+        The mirror rebuilds when the store mutates
+        (VectorStore.mutation_count key)."""
+        if self.prop.search_fallback != "ivfpq":
+            return None
+        if self.store.object_type not in (
+            ObjectType.FLOAT, ObjectType.BFLOAT16, ObjectType.UINT8,
+        ):
+            return None
+        key = (self.store.mutation_count, self.store.repository_size)
+        if (
+            getattr(self, "_ivfpq_mirror", None) is not None
+            and self._ivfpq_key == key
+        ):
+            return self._ivfpq_mirror
+        import os as _os
+        import tempfile as _tempfile
+        import time as _time
+
+        from ngt_tpu.quant.ivfpq import IVFPQIndex
+        from ngt_tpu.utils import logger
+
+        n = self.store.repository_size
+        live = np.nonzero(self.store._valid[:n])[0]
+        if len(live) == 0:
+            return None
+        raw_gb = float(_os.environ.get("NGT_TPU_AUTO_IVFPQ_RAW_GB", "4"))
+        raw_bytes = len(live) * self.store.dimension * 4
+        if raw_bytes <= raw_gb * (1 << 30):
+            raw_store, raw_path = "device", None
+        else:
+            raw_store = "mmap"
+            raw_path = _os.path.join(
+                self.path if self.path else _tempfile.gettempdir(),
+                "auto_ivfpq_raw.f32",
+            )
+        n_centroids = int(min(1 << 14, max(256, len(live) // 2048)))
+        logger.warning(
+            "building the auto IVFPQ mirror for %d rows (%d centroids, "
+            "raw=%s) — one-time cost; search_fallback='exact' opts out",
+            len(live), n_centroids, raw_store,
+        )
+        t0 = _time.time()
+        ivf = IVFPQIndex(
+            dimension=self.store.dimension,
+            n_centroids=n_centroids,
+            metric=self.store.metric,
+            raw_store=raw_store,
+            raw_path=raw_path,
+        )
+        step = 1 << 20
+        x = self.store._x
+        for s in range(0, len(live), step):
+            sel = live[s : s + step]
+            ivf.batch_insert(
+                np.asarray(x[sel, : self.store.dimension], np.float32)
+            )
+        ivf.build()
+        logger.warning("auto IVFPQ mirror built in %.0f s", _time.time() - t0)
+        self._ivfpq_mirror = ivf
+        self._ivfpq_ids = live.astype(np.int64)  # mirror row -> external id
+        self._ivfpq_key = key
+        return ivf
 
     def _resolve_edge_size(self, edge_size: int, epsilon: float) -> int:
         """Per-search edge count (NeighborhoodGraph::getEdgeSize,
@@ -509,6 +590,35 @@ class Index:
                     # query upload and search scratch
                     qg.release_device()
                     self._qg_cooldown_until = _time.monotonic() + 60.0
+            elif getattr(self, "_qg_size_blocked", False):
+                # past the block ceiling: serve from the IVFPQ mirror (the
+                # qg->ivfpq crossover; _maybe_ivfpq docstring has the knobs)
+                ivf = self._maybe_ivfpq()
+                if ivf is not None:
+                    import os as _os
+
+                    nprobe = int(
+                        _os.environ.get("NGT_TPU_AUTO_IVFPQ_NPROBE", "32")
+                    )
+                    exp = float(
+                        _os.environ.get("NGT_TPU_AUTO_IVFPQ_EXP", "16")
+                    )
+                    q = self.store.prepare_queries_host(
+                        np.asarray(queries, np.float32)
+                    )[:, : self.store.dimension]
+                    rows, dists = ivf.batch_search(
+                        q, size=size, nprobe=nprobe,
+                        result_expansion=exp, mode="refine",
+                    )
+                    rows = np.asarray(rows)
+                    ok = (rows >= 0) & (rows < len(self._ivfpq_ids))
+                    ids = np.where(
+                        ok,
+                        self._ivfpq_ids[np.clip(rows, 0, len(self._ivfpq_ids) - 1)]
+                        - (1 if self.zero_based else 0),
+                        -1,
+                    )
+                    return ids, np.asarray(dists)
         mirror = self._ensure_mirror()
         qdtype = np.int64 if self.store.sparse else np.float32
         q = self.store.prepare_queries(np.asarray(queries, dtype=qdtype))

@@ -96,7 +96,7 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
             ]
             lib.merge_edges.restype = None
             lib.merge_edges.argtypes = [
@@ -323,13 +323,17 @@ def constrained_reverse(
 
 
 def adjust_paths_phase2(
-    nbr: np.ndarray, deg: np.ndarray, cand_bits: np.ndarray, min_edges: int
+    nbr: np.ndarray, deg: np.ndarray, cand_bits: np.ndarray, min_edges: int,
+    snap_period: int = 1,
 ) -> np.ndarray | None:
     """Serial rank-ordered shortcut re-insertion (phase 2 of
     adjustPathsEffectively, reference GraphReconstructor.h:197-386) over the
-    device-detected candidate bits.  Returns kept [n, e] bool, or None when
-    the native lib is unavailable (caller falls back to the numpy rank
-    loop, which computes the identical result ~50x slower at 1M)."""
+    device-detected candidate bits.  ``snap_period`` selects the R(C)
+    visibility rule shared with the device pass (see the .cpp docstring;
+    R(1) = the exact rank-synchronous rule, 0 = one full-width window).
+    Returns kept [n, e] bool, or None when the native lib is unavailable
+    (caller falls back to the numpy rank loop, which computes the identical
+    result ~50x slower at 1M)."""
     lib = _load()
     if lib is None:
         return None
@@ -343,7 +347,7 @@ def adjust_paths_phase2(
         deg_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         cand_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         np.int64(n), np.int64(e), np.int64(cand_bits.shape[2]),
-        np.int64(min_edges),
+        np.int64(min_edges), np.int64(snap_period),
         kept.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     if got < 0:

@@ -482,10 +482,23 @@ int64_t parse_graph_rows(const char *buf, int64_t len, int64_t n, int64_t e,
 // pos(w in v's row) is resolved by binary search over a per-node id-sorted
 // permutation built once (the numpy rank loop paid a full [n,e] unpack +
 // argmax gather per rank — 849-1,023 s at 1M/e=130; this pass is seconds).
+//
+// snap_period parametrizes the rank-visibility rule R(C) shared with the
+// device implementation (graph/reconstruct.py _adjust_phase2_dev): the
+// inner-edge survival view kept[v, pos] is a SNAPSHOT refreshed every C
+// ranks; inner edges decided within the current snapshot window [r0, r)
+// count as PRESENT (their survival is not yet visible), while the u-row's
+// own kept[u, v_rank] stays fully live.  R(1) is the exact rank-synchronous
+// rule (snapshot == previous ranks, empty window) — the historical
+// behavior.  Any C yields a valid shortcut reduction: every dropped edge
+// has a 2-hop detour of strictly shorter edges, so detour chains terminate
+// by distance descent (same argument as the reference's global
+// shortest-first order, adjustPathsEffectively GraphReconstructor.h:197).
 // Returns kept-edge count, or -1 on alloc failure.
 int64_t adjust_paths_phase2(const int32_t *nbr, const int32_t *deg,
                             const uint8_t *cand, int64_t n, int64_t e,
-                            int64_t eb8, int64_t min_edges, uint8_t *kept) {
+                            int64_t eb8, int64_t min_edges,
+                            int64_t snap_period, uint8_t *kept) {
   if (n <= 0 || e <= 0) return 0;
   // id-sorted permutation per node: sorted_ids[u*e+j] ascending, with
   // sorted_rank[u*e+j] = original rank of that id
@@ -514,8 +527,28 @@ int64_t adjust_paths_phase2(const int32_t *nbr, const int32_t *deg,
     for (int64_t j = d; j < e; ++j) si[j] = INT32_MAX;  // search sentinel
   }
   std::memset(kept, 0, (size_t)n * e);
+  if (snap_period < 1) snap_period = e > 0 ? e : 1;
+  std::vector<uint8_t> snapbuf;
+  const bool snapshot = snap_period > 1;
+  if (snapshot) {
+    try {
+      snapbuf.assign((size_t)n * e, 0);
+    } catch (...) {
+      return -1;
+    }
+  }
+  const uint8_t *snapp = snapshot ? snapbuf.data() : kept;
   int64_t total = 0;
+  int64_t r0 = 0;
   for (int64_t r = 0; r < e; ++r) {
+    if (snapshot) {
+      if (r % snap_period == 0) {
+        std::memcpy(snapbuf.data(), kept, (size_t)n * e);
+        r0 = r;
+      }
+    } else {
+      r0 = r;  // R(1): snapshot IS the live array, window empty
+    }
     const int64_t byte_r = r >> 3;
     const int shift_r = 7 - (int)(r & 7);
     for (int64_t u = 0; u < n; ++u) {
@@ -525,7 +558,8 @@ int64_t adjust_paths_phase2(const int32_t *nbr, const int32_t *deg,
         const int32_t w = nbr[(size_t)u * e + r];
         const uint8_t *cu = cand + ((size_t)u * e) * eb8 + byte_r;
         const uint8_t *ku = kept + (size_t)u * e;
-        // v_rank < r: only earlier-rank edges can already be kept
+        // v_rank < r: only earlier-rank edges can already be kept (the
+        // u-row's own kept state is LIVE under every snap_period)
         for (int64_t v_rank = 0; v_rank < r; ++v_rank) {
           if (!ku[v_rank]) continue;
           if (!((cu[(size_t)v_rank * eb8] >> shift_r) & 1)) continue;
@@ -536,10 +570,9 @@ int64_t adjust_paths_phase2(const int32_t *nbr, const int32_t *deg,
           const int32_t *lo = std::lower_bound(si, si + e, w);
           if (lo != si + e && *lo == w) {
             const int16_t pos = sorted_rank[(size_t)v * e + (lo - si)];
-            // pos < r: a same-round keep (pos == r) must not count — the
-            // numpy/vectorized semantics decide a whole rank against the
-            // PREVIOUS rounds' kept state only
-            if (pos < r && kept[(size_t)v * e + pos]) {
+            // pos < r0: survival via the snapshot; [r0, r): presence rule
+            // (pos >= r is undecided future — never counts)
+            if (pos < r0 ? snapp[(size_t)v * e + pos] : pos < r) {
               drop = true;
               break;
             }

@@ -201,6 +201,12 @@ class Property:
     #: concentrate (angular) a tiny epsilon already floods admission, so
     #: this is the finer recall/qps lever.  0 = off (radius rank = k)
     search_ef: int = 0
+    #: what "auto" routing serves once the corpus outgrows even floor-width
+    #: sq8/pq4 neighbor blocks (the _maybe_qg size skip, ~8M rows at 128d
+    #: on one 16 GB chip): "ivfpq" = maintain an IVFPQ mirror (the
+    #: reference's own large-dataset answer is its NGTQ index,
+    #: README.md:31); "exact" = fall back to the exact graph traversal
+    search_fallback: str = "ivfpq"
 
     # -- NGT prf key mapping (reference Index.h:105-190, Graph.h:423-489) --
     _PRF_KEYS = {
@@ -246,6 +252,7 @@ class Property:
         "SearchMode": ("search_mode", str),
         "SearchQgThreshold": ("search_qg_threshold", int),
         "ResultExpansion": ("result_expansion", float),
+        "SearchFallback": ("search_fallback", str),
     }
 
     _ENUM_FIELDS = {

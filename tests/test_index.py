@@ -649,3 +649,42 @@ def test_narrow_mirror_integral_corpus(rng, monkeypatch):
     assert str(idx._mirror.x.dtype) == "float32"
     r = idx.search(data[42], size=5)
     assert r[0][0] == 43 or r[0][1] < 1e-6  # row 42 (1-based id 43) found
+
+
+def test_qg_ivfpq_crossover(rng, monkeypatch):
+    """Past the capacity where even floor-width sq8 blocks exceed the HBM
+    budget, auto routing must fall through to a WORKING path: the IVFPQ
+    mirror (search_fallback default), not the silent exact downgrade.
+    Forced here by shrinking NGT_TPU_QG_MAX_GB below any block size."""
+    data = rng.normal(size=(6000, 24)).astype(np.float32) * 10
+    queries = data[rng.choice(6000, 48, replace=False)] + rng.normal(
+        size=(48, 24)
+    ).astype(np.float32)
+    idx = _build(data)
+    monkeypatch.setenv("NGT_TPU_QG_MAX_GB", "0.0000001")
+    # a 6k corpus puts 32/256 default probes at only 12% coverage; widen so
+    # the assertion tests the ROUTING, not small-corpus IVFPQ tuning
+    monkeypatch.setenv("NGT_TPU_AUTO_IVFPQ_NPROBE", "96")
+    monkeypatch.setenv("NGT_TPU_AUTO_IVFPQ_EXP", "30")
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+    ids, dists = idx.batch_search(queries, size=10)
+    assert idx._qg is None          # blocks were never attempted
+    assert getattr(idx, "_ivfpq_mirror", None) is not None
+    rec = recall_at_k(np.asarray(ids), np.asarray(gt_ids), 10)
+    assert rec >= 0.9, f"crossover recall {rec}"
+    # distances are exact (refine mode re-ranks with the true metric)
+    row0 = data[np.asarray(ids)[0, 0]]
+    want = np.linalg.norm(row0 - queries[0])
+    np.testing.assert_allclose(np.asarray(dists)[0, 0], want, rtol=1e-4)
+    # the mirror tracks store mutations
+    key0 = idx._ivfpq_key
+    idx.batch_insert(data[:4] + np.float32(1000.0), build=True)
+    idx.batch_search(queries[:4], size=5)
+    assert idx._ivfpq_key != key0
+    # opting out serves the exact path instead
+    idx.prop.search_fallback = "exact"
+    idx._ivfpq_mirror = None
+    ids2, _ = idx.batch_search(queries, size=10)
+    assert idx._ivfpq_mirror is None
+    rec2 = recall_at_k(np.asarray(ids2), np.asarray(gt_ids), 10)
+    assert rec2 >= 0.9

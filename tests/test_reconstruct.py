@@ -218,6 +218,55 @@ def test_reconstruct_with_constraint(rng):
     assert stats["indegree"]["zero"] == 0
 
 
+def test_adjust_paths_device_matches_native(rng, monkeypatch):
+    """Device phase 2 + on-device normalize (the production path for large
+    graphs) reproduces the host replay bit-for-bit under the shared R(C)
+    snapshot rule, across multiple snapshot windows (e=12 > C=8) and with
+    the min_edges floor engaged."""
+    n, e = 300, 12
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    d = np.linalg.norm(x[:, None] - x[None, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    ids = np.argsort(d, axis=1)[:, :e].astype(np.int32)
+    ds = np.take_along_axis(d, ids, axis=1).astype(np.float32)
+
+    def mk():
+        g = GraphStore(max_edges=e, capacity=n)
+        g.set_nodes(np.arange(n), ids, ds)
+        return g
+
+    monkeypatch.setenv("NGT_TPU_ADJUST_DEVICE_MIN", "0")
+    out_dev = adjust_paths(mk(), n, min_edges=3)
+    monkeypatch.setenv("NGT_TPU_ADJUST_DEVICE", "0")
+    out_host = adjust_paths(mk(), n, min_edges=3, snap=8)
+    assert np.array_equal(out_dev.degree[:n], out_host.degree[:n])
+    assert np.array_equal(out_dev.nbr_ids[:n], out_host.nbr_ids[:n])
+    np.testing.assert_allclose(
+        out_dev.nbr_dist[:n], out_host.nbr_dist[:n], rtol=0, atol=0
+    )
+    assert (out_dev.degree[:n] >= 3).all()
+
+
+def test_onng_pipeline_recall_device_rule(rng, monkeypatch):
+    """The R(8) snapshot rule (device default) keeps ONNG recall — it may
+    only drop edges whose 2-hop detour was present in the pre-window graph,
+    so reachability is preserved by strict distance descent."""
+    data = rng.normal(size=(1200, 16)).astype(np.float32)
+    queries = rng.normal(size=(32, 16)).astype(np.float32)
+    idx = ngt_tpu.create(None, dimension=16, edge_size_for_creation=16)
+    idx.batch_insert(data, build=True)
+    gt_ids, _ = idx.batch_linear_search(queries, size=10)
+    n = idx.store.repository_size
+    monkeypatch.setenv("NGT_TPU_ADJUST_DEVICE_MIN", "0")
+    onng = reconstruct_graph(idx.graph, n, out_edges=10, in_edges=24)
+    onng = adjust_paths(onng, n, min_edges=10)
+    idx.graph = onng
+    idx._mirror = None
+    ids, _ = idx.batch_search(queries, size=10, epsilon=0.15)
+    rec = recall_at_k(ids, np.asarray(gt_ids), 10)
+    assert rec >= 0.9, f"ONNG device-rule recall {rec}"
+
+
 def test_adjust_paths_native_matches_numpy(rng, monkeypatch):
     # native phase-2 (C rank replay) must reproduce the numpy rank loop
     # bit-for-bit on a non-trivial random graph
