@@ -303,8 +303,14 @@ def _detect_shortcuts_all(nbr_all, dist_all, *, e, block, eb=None):
     per tile (~205 dispatches / 1.7 GB at 100k, e=130 — phase 1 was 97 s
     of the ONNG pipeline; fused+packed it is one dispatch + e/8 bytes per
     edge).  nbr_all rows must be padded to a multiple of ``block``.
-    ``eb`` (multiple of 8, >= e) pads the packed w axis so the device
-    phase-2 pass can slice whole snapshot windows of bytes."""
+    ``eb`` (multiple of 8, >= e) pads the packed w axis.
+
+    Returns a TUPLE of eb//8 arrays [n, e] uint8 — byte-column k holds w
+    ranks 8k..8k+7.  One [n, e, eb//8] tensor crosses 2^31 ELEMENTS at 1M
+    nodes x e=136 (2.3e9): TPU kernels address with int32 offsets and a
+    dynamic_slice over such a buffer faults the worker (measured: 400k
+    fine, 1M = hard crash).  Column buffers stay well under the limit and
+    the phase-2 pass consumes exactly one column per 8-rank window."""
     n = nbr_all.shape[0]
     ntiles = n // block
     if eb is None:
@@ -322,111 +328,132 @@ def _detect_shortcuts_all(nbr_all, dist_all, *, e, block, eb=None):
             * weights[None, None, None, :],
             axis=3,
         ).astype(jnp.uint8)
-        return None, packed
+        return None, tuple(packed[:, :, k] for k in range(eb // 8))
 
-    _, out = jax.lax.scan(body, None, jnp.arange(ntiles, dtype=jnp.int32))
-    return out.reshape(ntiles * block, e, eb // 8)
+    _, cols = jax.lax.scan(body, None, jnp.arange(ntiles, dtype=jnp.int32))
+    return tuple(c.reshape(ntiles * block, e) for c in cols)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("e", "block", "min_edges", "snap")
+    jax.jit, static_argnames=("e", "block", "min_edges", "snap"),
+    donate_argnums=(3, 4),
 )
-def _adjust_phase2_dev(nbr_all, deg_all, cand, *, e, block, min_edges, snap):
-    """Device rank-ordered re-insertion — phase 2 of path adjustment under
-    the R(C) visibility rule (C = ``snap``, a multiple of 8 so snapshot
-    windows align with the candidate bit-packing; see the native
-    adjust_paths_phase2 docstring for the rule).  Replaces the 2.2 GB
-    candidate download + host replay (cand_download 220 s + phase2 80 s of
-    the 1M ONNG profile, BASELINE.md round 4h): the candidate tensor never
-    leaves HBM.
+def _adjust_phase2_chunk(nbr_e, deg_all, cand_chunk, kept, cnt, r0, *,
+                         e, block, min_edges, snap):
+    """One snapshot window of device rank-ordered re-insertion — phase 2 of
+    path adjustment under the R(C) visibility rule (C = ``snap``, multiple
+    of 8; see the native adjust_paths_phase2 docstring).  Driven by a host
+    loop over windows (one compiled program, r0 traced; ~e/C dispatches)
+    rather than a single fori program so each window reads only ITS
+    [n, e, C/8] candidate slice — the full candidate tensor crosses the
+    int32 element-addressing limit at 1M nodes (see _detect_shortcuts_all).
+    ``kept``/``cnt`` are donated: the carry updates in place across
+    windows.
 
-    Structure: fori over snapshot windows; within a window, lax.scan over
-    node tiles gathers each tile's neighbor rows + snapshot-kept rows ONCE
-    ([block, e, e]), then an inner fori over the window's ranks decides
-    edges with the tile's own kept state live in-registers.  Total compute
-    is n*e^3 byte-compares — the same envelope as detection — and gather
-    traffic is (e/C) detection-equivalents, which is why C is worth
-    raising once measured.
+    Per window, lax.scan over node tiles gathers each tile's neighbor rows
+    + snapshot-kept rows ONCE ([block, e, e]), then an inner fori over the
+    window's ranks decides edges with the tile's own kept state live
+    in-registers.  Total compute across windows is n*e^3 byte-compares —
+    the same envelope as detection; gather traffic is (e/C)
+    detection-equivalents (measured ~2x detection wall at C=8).
 
-      nbr_all [n_pad, >=e] int32   deg_all [n_pad] int32
-      cand    [n_pad, e, ceil(e/C)*C/8] uint8 (w axis packed, big-endian)
-    Returns kept [n_pad, e] bool."""
-    n = nbr_all.shape[0]
+      nbr_e [n_pad, e] int32   deg_all [n_pad] int32
+      cand_chunk [n_pad, e, snap//8] uint8 (this window's byte columns)
+      kept [n_pad, e] bool   cnt [n_pad] int32   r0 = window start rank
+    Returns (kept, cnt) with ranks [r0, r0+snap) decided."""
+    n = nbr_e.shape[0]
     ntiles = n // block
-    nchunks = (e + snap - 1) // snap
-    nbr_e = nbr_all[:, :e]
     p_idx = jnp.arange(e, dtype=jnp.int32)
-    kept0 = jnp.zeros((n, e), jnp.bool_)
-    cnt0 = jnp.zeros((n,), jnp.int32)
 
-    def chunk_body(ci, carry):
-        kept, cnt = carry  # chunk-start state == the snapshot
-        r0 = ci * snap
-
-        def tile_body(_, ti):
-            s = ti * block
-            nbr_blk = jax.lax.dynamic_slice(nbr_e, (s, 0), (block, e))
-            deg_blk = jax.lax.dynamic_slice(deg_all, (s,), (block,))
-            kept_blk = jax.lax.dynamic_slice(kept, (s, 0), (block, e))
-            cnt_blk = jax.lax.dynamic_slice(cnt, (s,), (block,))
-            cbytes = jax.lax.dynamic_slice(
-                cand, (s, 0, ci * (snap // 8)), (block, e, snap // 8)
-            )
-            safe_v = jnp.clip(nbr_blk, 0, n - 1)
-            v_nbrs = jnp.take(nbr_e, safe_v, axis=0)     # [block, e_v, e_p]
-            v_snap = jnp.take(kept, safe_v, axis=0)      # [block, e_v, e_p]
-
-            def micro(j, mc):
-                kept_blk, cnt_blk = mc
-                r = r0 + j
-                w = jax.lax.dynamic_slice(nbr_blk, (0, r), (block, 1))
-                eq = v_nbrs == w[:, :, None]             # [block, e_v, e_p]
-                # visibility: decided (< r0) via snapshot, in-window
-                # (< r) via presence; >= r never
-                window = (p_idx >= r0) & (p_idx < r)
-                inner = jnp.any(eq & (v_snap | window[None, None, :]), axis=2)
-                byte = jax.lax.dynamic_slice(
-                    cbytes, (0, 0, j // 8), (block, e, 1)
-                )[..., 0]
-                uv = ((byte >> (7 - (j % 8)).astype(jnp.uint8)) & 1) > 0
-                drop = jnp.any(inner & uv & kept_blk, axis=1)
-                has_edge = r < deg_blk
-                can_drop = cnt_blk + (deg_blk - r) > min_edges
-                keep_now = has_edge & ~(drop & can_drop)
-                kept_blk = jax.lax.dynamic_update_slice(
-                    kept_blk, keep_now[:, None], (0, r)
-                )
-                cnt_blk = cnt_blk + keep_now.astype(jnp.int32)
-                return kept_blk, cnt_blk
-
-            hi = jnp.minimum(snap, e - r0)
-            kept_blk, cnt_blk = jax.lax.fori_loop(
-                0, hi, micro, (kept_blk, cnt_blk)
-            )
-            return None, (kept_blk, cnt_blk)
-
-        _, (kept_t, cnt_t) = jax.lax.scan(
-            tile_body, None, jnp.arange(ntiles, dtype=jnp.int32)
+    def tile_body(_, ti):
+        s = ti * block
+        nbr_blk = jax.lax.dynamic_slice(nbr_e, (s, 0), (block, e))
+        deg_blk = jax.lax.dynamic_slice(deg_all, (s,), (block,))
+        kept_blk = jax.lax.dynamic_slice(kept, (s, 0), (block, e))
+        cnt_blk = jax.lax.dynamic_slice(cnt, (s,), (block,))
+        cbytes = jax.lax.dynamic_slice(
+            cand_chunk, (s, 0, 0), (block, e, snap // 8)
         )
-        return kept_t.reshape(n, e), cnt_t.reshape(n)
+        safe_v = jnp.clip(nbr_blk, 0, n - 1)
+        v_nbrs = jnp.take(nbr_e, safe_v, axis=0)     # [block, e_v, e_p]
+        v_snap = jnp.take(kept, safe_v, axis=0)      # [block, e_v, e_p]
 
-    kept, _ = jax.lax.fori_loop(0, nchunks, chunk_body, (kept0, cnt0))
+        def micro(j, mc):
+            kept_blk, cnt_blk = mc
+            r = r0 + j
+            w = jax.lax.dynamic_slice(nbr_blk, (0, r), (block, 1))
+            eq = v_nbrs == w[:, :, None]             # [block, e_v, e_p]
+            # visibility: decided (< r0) via snapshot, in-window (< r)
+            # via presence; >= r never
+            window = (p_idx >= r0) & (p_idx < r)
+            inner = jnp.any(eq & (v_snap | window[None, None, :]), axis=2)
+            byte = jax.lax.dynamic_slice(
+                cbytes, (0, 0, j // 8), (block, e, 1)
+            )[..., 0]
+            uv = ((byte >> (7 - (j % 8)).astype(jnp.uint8)) & 1) > 0
+            drop = jnp.any(inner & uv & kept_blk, axis=1)
+            has_edge = r < deg_blk
+            can_drop = cnt_blk + (deg_blk - r) > min_edges
+            keep_now = has_edge & ~(drop & can_drop)
+            kept_blk = jax.lax.dynamic_update_slice(
+                kept_blk, keep_now[:, None], (0, r)
+            )
+            cnt_blk = cnt_blk + keep_now.astype(jnp.int32)
+            return kept_blk, cnt_blk
+
+        hi = jnp.minimum(snap, e - r0)
+        kept_blk, cnt_blk = jax.lax.fori_loop(
+            0, hi, micro, (kept_blk, cnt_blk)
+        )
+        return None, (kept_blk, cnt_blk)
+
+    _, (kept_t, cnt_t) = jax.lax.scan(
+        tile_body, None, jnp.arange(ntiles, dtype=jnp.int32)
+    )
+    return kept_t.reshape(n, e), cnt_t.reshape(n)
+
+
+def _adjust_phase2_device(nbr_e, deg_dev, cand_cols, *, e, block, min_edges,
+                          snap):
+    """Host driver for the windowed device phase 2: stacks each window's
+    candidate byte columns ([n, e, snap//8], < 2^31 elements) and threads
+    the donated (kept, cnt) carry through one dispatch per window."""
+    n = nbr_e.shape[0]
+    kept = jnp.zeros((n, e), jnp.bool_)
+    cnt = jnp.zeros((n,), jnp.int32)
+    k = snap // 8
+    nchunks = (e + snap - 1) // snap
+    for ci in range(nchunks):
+        cand_chunk = jnp.stack(cand_cols[ci * k : ci * k + k], axis=2)
+        kept, cnt = _adjust_phase2_chunk(
+            nbr_e, deg_dev, cand_chunk, kept, cnt,
+            jnp.int32(ci * snap),
+            e=e, block=block, min_edges=min_edges, snap=snap,
+        )
     return kept
 
 
 @functools.partial(jax.jit, static_argnames=("e", "e_max", "cap"))
 def _kept_to_rows_dev(nbr_e, dist_e, kept, *, e, e_max, cap):
-    """Fuse the kept mask straight into normalized fixed-width rows on
-    device: the phase-2 output never leaves HBM either — only the final
-    [cap, e_max] adjacency comes back over the tunnel (vs the host path's
-    kept download + 3-array triple re-upload for the device sort)."""
-    n = nbr_e.shape[0]
-    rows = jax.lax.broadcasted_iota(jnp.int32, (n, e), 0)
+    """Compact the kept mask straight into fixed-width rows on device: the
+    phase-2 output never leaves HBM — only the final [cap, e_max] adjacency
+    comes back over the tunnel.  No sort is needed: input rows are already
+    distance-ascending and duplicate-free, and ``kept`` selects a subset in
+    rank order, so per-row stable compaction (cumsum ranks + scatter,
+    OOB-dropped for invalid/padded entries) reproduces exactly what
+    _normalize_rows would produce — a whole-array sort here cost 100 s at
+    400k where this is sub-second."""
     valid = kept & (nbr_e >= 0)
-    s = jnp.where(valid, rows, -1).reshape(-1)
-    t = jnp.where(valid, nbr_e, -1).reshape(-1)
-    d = jnp.where(valid, dist_e, jnp.inf).reshape(-1)
-    return _normalize_rows_dev(s, t, d, e_max=e_max, cap=cap)
+    rank = jnp.cumsum(valid.astype(jnp.int32), axis=1) - 1
+    n = nbr_e.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, e), 0)
+    col = jnp.where(valid, rank, e_max + 1)   # invalid -> dropped
+    nbr2 = jnp.full((cap, e_max), -1, jnp.int32)
+    dist2 = jnp.full((cap, e_max), jnp.inf, jnp.float32)
+    nbr2 = nbr2.at[row, col].set(nbr_e, mode="drop")
+    dist2 = dist2.at[row, col].set(dist_e, mode="drop")
+    deg2 = jnp.sum(valid, axis=1).astype(jnp.int32)[:cap]
+    return nbr2, dist2, deg2
 
 
 def adjust_paths(
@@ -475,8 +502,14 @@ def adjust_paths(
         snap = int(env.get("NGT_TPU_ADJUST_SNAP", "8")) if use_dev else 1
     if snap <= 0 or snap > e:
         snap = e
-    # the device pass slices snapshot windows of whole bytes
+    # the device pass slices snapshot windows of whole bytes; cap the
+    # window so one window's [n, e, snap/8] candidate slice stays under
+    # the int32 element-addressing limit (see _detect_shortcuts_all)
     snap8 = ((snap + 7) // 8) * 8
+    if use_dev:
+        n_est = ((n + block - 1) // block) * block + block
+        k_max = max(1, (1 << 31) // max(n_est * e, 1) - 1)
+        snap8 = max(8, min(snap8, 8 * k_max))
     eb = ((e + snap8 - 1) // snap8) * snap8 if use_dev else None
 
     # phase 1: candidate detection — ONE fused device program (scan over
@@ -499,8 +532,8 @@ def adjust_paths(
         )
     nbr_dev = jnp.asarray(nbr_p)
     dist_dev = jnp.asarray(dist_p)
-    cand_dev = _detect_shortcuts_all(nbr_dev, dist_dev, e=e, block=block,
-                                     eb=eb)
+    cand_cols = _detect_shortcuts_all(nbr_dev, dist_dev, e=e, block=block,
+                                      eb=eb)
     mark("detect")
 
     from ngt_tpu import native
@@ -509,13 +542,14 @@ def adjust_paths(
         try:
             deg_p = np.zeros(n_pad, np.int32)
             deg_p[:n] = deg
-            kept_dev = _adjust_phase2_dev(
-                nbr_dev, jnp.asarray(deg_p), cand_dev,
+            nbr_e_dev = nbr_dev[:, :e]
+            kept_dev = _adjust_phase2_device(
+                nbr_e_dev, jnp.asarray(deg_p), cand_cols,
                 e=e, block=block, min_edges=min_edges, snap=snap8,
             )
-            del cand_dev  # 2 GB-class; free before the normalize sort
+            del cand_cols  # 2 GB-class; free before the row compaction
             nbr2d, dist2d, deg2d = _kept_to_rows_dev(
-                nbr_dev[:, :e], dist_dev[:, :e], kept_dev,
+                nbr_e_dev, dist_dev[:, :e], kept_dev,
                 e=e, e_max=graph.e_max, cap=n,
             )
             deg2 = np.asarray(deg2d)
@@ -533,11 +567,13 @@ def adjust_paths(
             print(f"# adjust_paths: device phase 2 failed ({exc}); "
                   "falling back to host replay", file=_sys.stderr,
                   flush=True)
-            cand_dev = _detect_shortcuts_all(
+            cand_cols = _detect_shortcuts_all(
                 nbr_dev, dist_dev, e=e, block=block, eb=eb
             )
-    cand_bits = np.asarray(cand_dev)[:n]
-    del cand_dev
+    cand_bits = np.stack(
+        [np.asarray(c)[:n] for c in cand_cols], axis=2
+    )
+    del cand_cols
     mark("cand_download")
 
     # phase 2: rank-ordered re-insertion.  Native single pass (per-node
