@@ -95,6 +95,12 @@ def _normalize_rows(
     (reference GraphReconstructor.h:516-553).  Large pair lists route to
     the device sort (pow2-padded so programs are reused across sizes)."""
     if len(pairs_src) >= (1 << 21):
+        import os as _os
+        import sys as _sys
+        import time as _t
+
+        prof = _os.environ.get("NGT_TPU_BUILD_PROFILE", "") == "1"
+        t0 = _t.time()
         ln = 1 << int(np.ceil(np.log2(len(pairs_src))))
         pad = ln - len(pairs_src)
         s = np.concatenate([pairs_src, np.full(pad, -1, np.int64)])
@@ -104,7 +110,16 @@ def _normalize_rows(
             jnp.asarray(s.astype(np.int32)), jnp.asarray(t),
             jnp.asarray(d.astype(np.float32)), e_max=e_max, cap=n,
         )
-        return np.asarray(nbr_d), np.asarray(dist_d), np.asarray(deg_d)
+        deg_h = np.asarray(deg_d)
+        if prof:
+            print(f"# normalize_dev sort={_t.time()-t0:.1f}s "
+                  f"(pairs={len(pairs_src)})", file=_sys.stderr, flush=True)
+            t0 = _t.time()
+        out = np.asarray(nbr_d), np.asarray(dist_d), deg_h
+        if prof:
+            print(f"# normalize_dev download={_t.time()-t0:.1f}s",
+                  file=_sys.stderr, flush=True)
+        return out
     ok = (pairs_dst >= 0) & (pairs_src >= 0) & np.isfinite(pairs_d)
     if not ok.all():
         pairs_src, pairs_dst, pairs_d = (
@@ -434,10 +449,11 @@ def _adjust_phase2_device(nbr_e, deg_dev, cand_cols, *, e, block, min_edges,
 
 
 @functools.partial(jax.jit, static_argnames=("e", "e_max", "cap"))
-def _kept_to_rows_dev(nbr_e, dist_e, kept, *, e, e_max, cap):
-    """Compact the kept mask straight into fixed-width rows on device: the
-    phase-2 output never leaves HBM — only the final [cap, e_max] adjacency
-    comes back over the tunnel.  No sort is needed: input rows are already
+def _kept_to_rows_dev(nbr_e, kept, *, e, e_max, cap):
+    """Compact the kept mask straight into fixed-width id rows on device:
+    the phase-2 output never leaves HBM — only the final [cap, e_max]
+    adjacency ids come back over the tunnel (distances resolve host-side,
+    see adjust_paths).  No sort is needed: input rows are already
     distance-ascending and duplicate-free, and ``kept`` selects a subset in
     rank order, so per-row stable compaction (cumsum ranks + scatter,
     OOB-dropped for invalid/padded entries) reproduces exactly what
@@ -449,11 +465,9 @@ def _kept_to_rows_dev(nbr_e, dist_e, kept, *, e, e_max, cap):
     row = jax.lax.broadcasted_iota(jnp.int32, (n, e), 0)
     col = jnp.where(valid, rank, e_max + 1)   # invalid -> dropped
     nbr2 = jnp.full((cap, e_max), -1, jnp.int32)
-    dist2 = jnp.full((cap, e_max), jnp.inf, jnp.float32)
     nbr2 = nbr2.at[row, col].set(nbr_e, mode="drop")
-    dist2 = dist2.at[row, col].set(dist_e, mode="drop")
     deg2 = jnp.sum(valid, axis=1).astype(jnp.int32)[:cap]
-    return nbr2, dist2, deg2
+    return nbr2, deg2
 
 
 def adjust_paths(
@@ -548,14 +562,17 @@ def adjust_paths(
                 e=e, block=block, min_edges=min_edges, snap=snap8,
             )
             del cand_cols  # 2 GB-class; free before the row compaction
-            nbr2d, dist2d, deg2d = _kept_to_rows_dev(
-                nbr_e_dev, dist_dev[:, :e], kept_dev,
-                e=e, e_max=graph.e_max, cap=n,
+            nbr2d, deg2d = _kept_to_rows_dev(
+                nbr_e_dev, kept_dev, e=e, e_max=graph.e_max, cap=n,
             )
             deg2 = np.asarray(deg2d)
             mark("phase2_dev")
             nbr2 = np.asarray(nbr2d)
-            dist2 = np.asarray(dist2d)
+            # distances are a permuted subset of rows the host already
+            # holds: resolve them host-side (native binary-search lookup,
+            # ~1 s at 1M) instead of downloading the f32 half of the rows
+            # (0.5 GB -> 25-40 s of the round-5 contended profile)
+            dist2 = native.edge_dist_lookup(nbr, dist, deg, nbr2, deg2)
             mark("rows_download")
             out = GraphStore(max_edges=graph.e_max, capacity=max(n, 16))
             out.nbr_ids[:n], out.nbr_dist[:n], out.degree[:n] = (

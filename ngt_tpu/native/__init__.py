@@ -98,6 +98,14 @@ def _load():
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
             ]
+            lib.edge_dist_lookup.restype = None
+            lib.edge_dist_lookup.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_float),
+            ]
             lib.merge_edges.restype = None
             lib.merge_edges.argtypes = [
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
@@ -353,6 +361,55 @@ def adjust_paths_phase2(
     if got < 0:
         return None
     return kept.view(bool)
+
+
+def edge_dist_lookup(
+    nbr: np.ndarray, dist: np.ndarray, deg: np.ndarray,
+    qnbr: np.ndarray, qdeg: np.ndarray,
+) -> np.ndarray:
+    """out[u, j] = distance of edge (u -> qnbr[u, j]) resolved from u's
+    ORIGINAL row; +inf where the id is absent.  Saves the f32 half of the
+    ONNG device row download (distances are a permuted subset of rows the
+    host already holds).  Numpy fallback: one flat searchsorted over
+    (u << 32 | id) packed keys."""
+    n, w = nbr.shape
+    qw = qnbr.shape[1]
+    lib = _load()
+    if lib is not None:
+        nbr_c = np.ascontiguousarray(nbr, np.int32)
+        dist_c = np.ascontiguousarray(dist, np.float32)
+        deg_c = np.ascontiguousarray(deg, np.int32)
+        qnbr_c = np.ascontiguousarray(qnbr, np.int32)
+        qdeg_c = np.ascontiguousarray(qdeg, np.int32)
+        out = np.empty((n, qw), np.float32)
+        lib.edge_dist_lookup(
+            nbr_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            dist_c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            deg_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            np.int64(n), np.int64(w),
+            qnbr_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            qdeg_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            np.int64(qw),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return out
+    rows = np.arange(n, dtype=np.int64)[:, None]
+    ok = nbr >= 0
+    keys = np.where(ok, (rows << 32) | nbr.astype(np.int64),
+                    np.iinfo(np.int64).max)
+    order = np.argsort(keys, axis=1, kind="stable")
+    skeys = np.take_along_axis(keys, order, axis=1).reshape(-1)
+    sdist = np.take_along_axis(
+        np.asarray(dist, np.float32), order, axis=1
+    ).reshape(-1)
+    qok = qnbr >= 0
+    qkeys = np.where(qok, (rows << 32) | qnbr.astype(np.int64), -1).reshape(-1)
+    pos = np.searchsorted(skeys, qkeys)
+    pos = np.clip(pos, 0, len(skeys) - 1)
+    hit = skeys[pos] == qkeys
+    out = np.full(n * qw, np.inf, np.float32)
+    out[hit] = sdist[pos[hit]]
+    return out.reshape(n, qw)
 
 
 def format_obj_rows(x: np.ndarray, valid: np.ndarray) -> bytes | None:
