@@ -394,10 +394,47 @@ def bench_1m_angular(timed):
             file=sys.stderr,
         )
         tiers.add(rec, qps)
-    # No ONNG sub-arm: on the rank-74 proxy the ONNG(10/120) reconstruction
-    # (1,023 s at 1M) measured recall-IDENTICAL to the bulk ANNG at every
-    # eps (BASELINE.md round-3c) — the exact-KNNG bulk start already gives
-    # the reconstruction's quality, so the recipe buys nothing here.
+    # ONNG sub-arm (round 5): the round-3c "ONNG buys nothing on angular"
+    # held only at the 0.95 tier on the eps ladder — at the HIGH tier the
+    # ONNG(10/120+adjust) graph dominates decisively (measured round 5:
+    # 0.9970 @ 10.1k qps vs the flat graph's 0.9912 @ 7.6k best >=0.99
+    # row; 0.9995 @ 6.2k at ef=64).  The device phase-2 path makes the
+    # reconstruction affordable in-bench (~300-460 s under load).
+    if os.environ.get("NGT_TPU_BENCH_ANGULAR_ONNG", "1") != "0":
+        from ngt_tpu.optimizer import GraphOptimizer
+
+        t0 = time.time()
+        GraphOptimizer(
+            out_edges=10, in_edges=120, tune_parameters=False
+        ).execute(idx)
+        print(f"# 1M angular onng build={time.time()-t0:.1f}s",
+              file=sys.stderr)
+        idx.prop.search_mode = "auto"
+        for ef, rexp, eps in ((0, 0, 0.0), (0, 0, 0.02), (33, 0, 0.0),
+                              (48, 5.0, 0.0), (64, 6.0, 0.0)):
+            old_rexp = idx.prop.result_expansion
+            if rexp:
+                idx.prop.result_expansion = rexp
+            try:
+                ids, dt = timed(
+                    lambda f=ef, e=eps: idx.batch_search(
+                        queries, size=11, epsilon=e, ef=f
+                    )
+                )
+            except Exception as exc:
+                print(f"# 1M angular onng ef={ef} failed: {exc}",
+                      file=sys.stderr)
+                continue
+            finally:
+                idx.prop.result_expansion = old_rexp
+            rec = recall_at_k(strip_self(np.asarray(ids)), gt_ids, 10)
+            qps = n_q / dt
+            print(
+                f"# 1M angular onng ef={ef} rexp={rexp} eps={eps} "
+                f"recall@10={rec:.4f} qps={qps:.0f}",
+                file=sys.stderr,
+            )
+            tiers.add(rec, qps)
     release_index(idx)
     t95, t99 = tiers.get(0.95), tiers.get(0.99)
     if t95 is None:

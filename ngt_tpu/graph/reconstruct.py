@@ -37,6 +37,11 @@ from ngt_tpu.graph.storage import GraphStore
 
 INF = np.float32(np.inf)
 
+#: pair count above which _normalize_rows routes to the device sort
+#: (host lexsorts dominate the 1-core host past a few million pairs);
+#: module-level so tests can force the device path at tiny sizes
+DEV_PAIRS_MIN = 1 << 21
+
 
 # --------------------------------------------------------------------------
 # bulk rewrites (host numpy; these are offline passes over int/float arrays)
@@ -50,8 +55,8 @@ def _rows_to_lists(nbr: np.ndarray, dist: np.ndarray, deg: np.ndarray):
     return src, nbr[src, col], dist[src, col]
 
 
-@functools.partial(jax.jit, static_argnames=("e_max", "cap"))
-def _normalize_rows_dev(s, t, d, *, e_max, cap):
+@functools.partial(jax.jit, static_argnames=("e_max", "cap", "with_dist"))
+def _normalize_rows_dev(s, t, d, *, e_max, cap, with_dist=True):
     """Device _normalize_rows: sort 10s of millions of edge triples in one
     program (three host lexsorts over ~50M pairs took ~190 s of the 1M
     ONNG reconstruct on this one-core host; the device sorts them in
@@ -78,26 +83,38 @@ def _normalize_rows_dev(s, t, d, *, e_max, cap):
     row = jnp.where(keep, s2, pad_row)
     col = jnp.where(keep, rank, 0)
     nbr = jnp.full((cap + 1, e_max), -1, jnp.int32)
-    dist = jnp.full((cap + 1, e_max), jnp.inf, jnp.float32)
     nbr = nbr.at[row, col].set(jnp.where(keep, t2, -1))
-    dist = dist.at[row, col].set(jnp.where(keep, d2, jnp.inf))
-    nbr, dist = nbr[:cap], dist[:cap]
+    nbr = nbr[:cap]
     deg = jnp.sum(nbr >= 0, axis=1).astype(jnp.int32)
-    return nbr, dist, deg
+    if not with_dist:
+        return nbr, deg
+    dist = jnp.full((cap + 1, e_max), jnp.inf, jnp.float32)
+    dist = dist.at[row, col].set(jnp.where(keep, d2, jnp.inf))
+    return nbr, dist[:cap], deg
 
 
 def _normalize_rows(
     pairs_src: np.ndarray, pairs_dst: np.ndarray, pairs_d: np.ndarray,
     n: int, e_max: int,
+    dist_from: tuple[np.ndarray, np.ndarray, np.ndarray] | None = None,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Group (src -> dst, d) pairs into sorted, deduped fixed-width rows —
     the vectorized 'sort + erase duplicates' normalization pass
     (reference GraphReconstructor.h:516-553).  Large pair lists route to
-    the device sort (pow2-padded so programs are reused across sizes)."""
-    if len(pairs_src) >= (1 << 21):
+    the device sort (pow2-padded so programs are reused across sizes).
+
+    ``dist_from`` = (nbr, dist, deg) of the SOURCE graph when every pair's
+    distance is a copy of a stored edge in one direction or the other (the
+    reconstruction family: forward edges + mirrored reverses).  The device
+    path then downloads only the id rows and resolves distances host-side
+    via the symmetric native lookup — the f32 half of a 1M e_max=136 row
+    download is ~0.5 GB / 25-50 s on the contended link."""
+    if len(pairs_src) >= DEV_PAIRS_MIN:
         import os as _os
         import sys as _sys
         import time as _t
+
+        from ngt_tpu import native
 
         prof = _os.environ.get("NGT_TPU_BUILD_PROFILE", "") == "1"
         t0 = _t.time()
@@ -106,9 +123,31 @@ def _normalize_rows(
         s = np.concatenate([pairs_src, np.full(pad, -1, np.int64)])
         t = np.concatenate([pairs_dst, np.full(pad, -1, np.int32)])
         d = np.concatenate([pairs_d, np.full(pad, np.inf, np.float32)])
-        nbr_d, dist_d, deg_d = _normalize_rows_dev(
+        sd, td, dd = (
             jnp.asarray(s.astype(np.int32)), jnp.asarray(t),
-            jnp.asarray(d.astype(np.float32)), e_max=e_max, cap=n,
+            jnp.asarray(d.astype(np.float32)),
+        )
+        if dist_from is not None:
+            nbr_d, deg_d = _normalize_rows_dev(
+                sd, td, dd, e_max=e_max, cap=n, with_dist=False,
+            )
+            deg_h = np.asarray(deg_d)
+            if prof:
+                print(f"# normalize_dev sort={_t.time()-t0:.1f}s "
+                      f"(pairs={len(pairs_src)})",
+                      file=_sys.stderr, flush=True)
+                t0 = _t.time()
+            nbr_h = np.asarray(nbr_d)
+            dist_h = native.edge_dist_lookup(
+                dist_from[0], dist_from[1], dist_from[2],
+                nbr_h, deg_h, symmetric=True,
+            )
+            if prof:
+                print(f"# normalize_dev ids_download+lookup="
+                      f"{_t.time()-t0:.1f}s", file=_sys.stderr, flush=True)
+            return nbr_h, dist_h, deg_h
+        nbr_d, dist_d, deg_d = _normalize_rows_dev(
+            sd, td, dd, e_max=e_max, cap=n,
         )
         deg_h = np.asarray(deg_d)
         if prof:
@@ -160,7 +199,10 @@ def convert_to_anng(graph: GraphStore, n: int, e_max: int | None = None) -> Grap
     ps = np.concatenate([src, dst.astype(np.int64)])
     pt = np.concatenate([dst, src.astype(np.int32)])
     pd = np.concatenate([d, d])
-    nbr, dist, deg = _normalize_rows(ps, pt, pd, n, e_max)
+    nbr, dist, deg = _normalize_rows(
+        ps, pt, pd, n, e_max,
+        dist_from=(graph.nbr_ids[:n], graph.nbr_dist[:n], graph.degree[:n]),
+    )
     out = GraphStore(max_edges=e_max, capacity=max(n, 16))
     out.nbr_ids[:n], out.nbr_dist[:n], out.degree[:n] = nbr, dist, deg
     out._has_node[:n] = graph._has_node[:n]
@@ -189,7 +231,10 @@ def reconstruct_anng_from_anng(
     ps = np.concatenate([src, dst.astype(np.int64)])
     pt = np.concatenate([dst.astype(np.int32), src.astype(np.int32)])
     pd = np.concatenate([dd, dd])
-    nbr2, dist2, deg2 = _normalize_rows(ps, pt, pd, n, e_max)
+    nbr2, dist2, deg2 = _normalize_rows(
+        ps, pt, pd, n, e_max,
+        dist_from=(graph.nbr_ids[:n], graph.nbr_dist[:n], graph.degree[:n]),
+    )
     out = GraphStore(max_edges=e_max, capacity=max(n, 16))
     out.nbr_ids[:n], out.nbr_dist[:n], out.degree[:n] = nbr2, dist2, deg2
     out._has_node[:n] = graph._has_node[:n]
@@ -225,7 +270,9 @@ def reconstruct_graph(
     ps = np.concatenate([src_f, src_r])
     pt = np.concatenate([dst_f.astype(np.int32), dst_r])
     pd = np.concatenate([d_f, d_r])
-    nbr2, dist2, deg2 = _normalize_rows(ps, pt, pd, n, e_max)
+    nbr2, dist2, deg2 = _normalize_rows(
+        ps, pt, pd, n, e_max, dist_from=(nbr, dist, deg),
+    )
     out = GraphStore(max_edges=e_max, capacity=max(n, 16))
     out.nbr_ids[:n], out.nbr_dist[:n], out.degree[:n] = nbr2, dist2, deg2
     out._has_node[:n] = graph._has_node[:n]
@@ -272,7 +319,9 @@ def reconstruct_graph_with_constraint(
     ps = np.concatenate([rid.astype(np.int64), src_f])
     pt = np.concatenate([src.astype(np.int32), dst_f.astype(np.int32)])
     pd = np.concatenate([rd, d_f])
-    nbr2, dist2, deg2 = _normalize_rows(ps, pt, pd, n, e_max)
+    nbr2, dist2, deg2 = _normalize_rows(
+        ps, pt, pd, n, e_max, dist_from=(nbr, dist, deg),
+    )
     out = GraphStore(max_edges=e_max, capacity=max(n, 16))
     out.nbr_ids[:n], out.nbr_dist[:n], out.degree[:n] = nbr2, dist2, deg2
     out._has_node[:n] = graph._has_node[:n]
@@ -608,7 +657,7 @@ def adjust_paths(
         out = GraphStore(max_edges=graph.e_max, capacity=max(n, 16))
         nbr2, dist2, deg2 = _normalize_rows(
             src.astype(np.int64), nbr[src, col], dist[src, col], n,
-            graph.e_max,
+            graph.e_max, dist_from=(nbr, dist, deg),
         )
         out.nbr_ids[:n], out.nbr_dist[:n], out.degree[:n] = nbr2, dist2, deg2
         out._has_node[:n] = graph._has_node[:n]

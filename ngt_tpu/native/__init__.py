@@ -104,7 +104,7 @@ def _load():
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
                 ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
-                ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_float),
             ]
             lib.merge_edges.restype = None
             lib.merge_edges.argtypes = [
@@ -365,13 +365,16 @@ def adjust_paths_phase2(
 
 def edge_dist_lookup(
     nbr: np.ndarray, dist: np.ndarray, deg: np.ndarray,
-    qnbr: np.ndarray, qdeg: np.ndarray,
+    qnbr: np.ndarray, qdeg: np.ndarray, symmetric: bool = False,
 ) -> np.ndarray:
     """out[u, j] = distance of edge (u -> qnbr[u, j]) resolved from u's
-    ORIGINAL row; +inf where the id is absent.  Saves the f32 half of the
-    ONNG device row download (distances are a permuted subset of rows the
-    host already holds).  Numpy fallback: one flat searchsorted over
-    (u << 32 | id) packed keys."""
+    ORIGINAL row; with ``symmetric``, ids absent from u's row fall back to
+    the mirror edge (qnbr[u, j] -> u) — reconstruction-family rows are
+    unions of original + reversed edges, so one direction always exists.
+    +inf where neither does.  Saves the f32 half of ONNG device row
+    downloads (distances are permutations of rows the host already holds).
+    Numpy fallback: one flat searchsorted over (u << 32 | id) packed
+    keys."""
     n, w = nbr.shape
     qw = qnbr.shape[1]
     lib = _load()
@@ -389,7 +392,7 @@ def edge_dist_lookup(
             np.int64(n), np.int64(w),
             qnbr_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             qdeg_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-            np.int64(qw),
+            np.int64(qw), np.int64(1 if symmetric else 0),
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         )
         return out
@@ -402,13 +405,26 @@ def edge_dist_lookup(
     sdist = np.take_along_axis(
         np.asarray(dist, np.float32), order, axis=1
     ).reshape(-1)
+
+    def flat_lookup(qk):
+        pos = np.searchsorted(skeys, qk)
+        pos = np.clip(pos, 0, len(skeys) - 1)
+        hit = skeys[pos] == qk
+        res = np.full(len(qk), np.inf, np.float32)
+        res[hit] = sdist[pos[hit]]
+        return res
+
     qok = qnbr >= 0
     qkeys = np.where(qok, (rows << 32) | qnbr.astype(np.int64), -1).reshape(-1)
-    pos = np.searchsorted(skeys, qkeys)
-    pos = np.clip(pos, 0, len(skeys) - 1)
-    hit = skeys[pos] == qkeys
-    out = np.full(n * qw, np.inf, np.float32)
-    out[hit] = sdist[pos[hit]]
+    out = flat_lookup(qkeys)
+    if symmetric:
+        miss = np.isinf(out) & qok.reshape(-1)
+        if miss.any():
+            u_flat = np.repeat(np.arange(n, dtype=np.int64), qw)[miss]
+            t_flat = qnbr.reshape(-1).astype(np.int64)[miss]
+            inb = (t_flat >= 0) & (t_flat < n)
+            mk = np.where(inb, (t_flat << 32) | u_flat, -1)
+            out[miss] = flat_lookup(mk)
     return out.reshape(n, qw)
 
 

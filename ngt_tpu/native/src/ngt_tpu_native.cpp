@@ -594,34 +594,51 @@ int64_t adjust_paths_phase2(const int32_t *nbr, const int32_t *deg,
 // permutation + binary search, same scheme as adjust_paths_phase2).  Lets
 // the device ONNG path download only the adjacency ids — the f32 distance
 // half of the row download (~0.5 GB at 1M) is recomputable host-side in
-// ~1 s.  Missing ids get +inf (callers treat that as a bug signal).
+// ~1 s.  With symmetric != 0, an id absent from u's row falls back to the
+// MIRROR edge (qnbr[u,j] -> u) — reconstruction-family rows are unions of
+// original and reversed edges, so one of the two directions always exists
+// in the source graph.  Missing both ways gets +inf (a bug signal).
 void edge_dist_lookup(const int32_t *nbr, const float *dist,
                       const int32_t *deg, int64_t n, int64_t w,
                       const int32_t *qnbr, const int32_t *qdeg, int64_t qw,
-                      float *out) {
-  std::vector<int32_t> si(w);
-  std::vector<int16_t> sr(w);
+                      int64_t symmetric, float *out) {
+  // id-sorted view of every source row (row-major + id-ascending within a
+  // row = globally ascending (u << 32 | id) keys, enabling the mirror
+  // lookup without any global sort)
+  std::vector<int32_t> sids((size_t)n * w, INT32_MAX);
+  std::vector<int16_t> sranks((size_t)n * w);
   std::vector<int16_t> perm(w);
   for (int64_t u = 0; u < n; ++u) {
     const int32_t *row = nbr + (size_t)u * w;
-    const float *ds = dist + (size_t)u * w;
     int64_t d = deg[u] < w ? deg[u] : w;
     for (int64_t j = 0; j < d; ++j) perm[j] = (int16_t)j;
     std::sort(perm.begin(), perm.begin() + d,
               [row](int16_t a, int16_t b) { return row[a] < row[b]; });
+    int32_t *si = sids.data() + (size_t)u * w;
+    int16_t *sr = sranks.data() + (size_t)u * w;
     for (int64_t j = 0; j < d; ++j) {
       si[j] = row[perm[j]];
       sr[j] = perm[j];
     }
+  }
+  auto find = [&](int64_t u, int32_t t) -> float {
+    const int32_t *si = sids.data() + (size_t)u * w;
+    const int32_t *lo = std::lower_bound(si, si + w, t);
+    if (lo != si + w && *lo == t)
+      return dist[(size_t)u * w + sranks[(size_t)u * w + (lo - si)]];
+    return __builtin_inff();
+  };
+  for (int64_t u = 0; u < n; ++u) {
     const int32_t *qrow = qnbr + (size_t)u * qw;
     float *orow = out + (size_t)u * qw;
     const int64_t qd = qdeg[u] < qw ? qdeg[u] : qw;
     for (int64_t j = 0; j < qw; ++j) orow[j] = __builtin_inff();
     for (int64_t j = 0; j < qd; ++j) {
       const int32_t t = qrow[j];
-      const int32_t *lo = std::lower_bound(si.data(), si.data() + d, t);
-      if (lo != si.data() + d && *lo == t)
-        orow[j] = ds[sr[lo - si.data()]];
+      float v = find(u, t);
+      if (symmetric && !(v < __builtin_inff()) && t >= 0 && t < n)
+        v = find(t, (int32_t)u);
+      orow[j] = v;
     }
   }
 }

@@ -31,8 +31,8 @@ def test_anng_recall_random(rng):
 
 
 def test_anng_recall_sift5k(sift5k):
-    data = sift5k
-    queries = data[::50] + np.float32(0.5)
+    data = sift5k[:2500]
+    queries = data[::25] + np.float32(0.5)
     idx = _build(data)
     ids, _ = idx.batch_search(queries, size=10, epsilon=0.1)
     gt_ids, _ = idx.batch_linear_search(queries, size=10)
@@ -490,10 +490,10 @@ def test_auto_bulk_append_routing(rng):
     """Appends of >= bulk_append_threshold objects route through the bulk
     scan-and-merge (23x the incremental rate at equal recall, measured);
     small appends keep the incremental resume path."""
-    data = rng.normal(size=(9000, 16)).astype(np.float32) * 10
+    data = rng.normal(size=(3000, 16)).astype(np.float32) * 10
     idx = ngt_tpu.create(None, dimension=16)
-    idx.prop.bulk_append_threshold = 4096
-    idx.batch_insert(data[:4000], build=True)
+    idx.prop.bulk_append_threshold = 1024
+    idx.batch_insert(data[:1200], build=True)
     called = {}
     import ngt_tpu.graph.build as B
 
@@ -513,14 +513,14 @@ def test_auto_bulk_append_routing(rng):
     B.build_bulk = spy_bulk
     B.build_anng = spy_anng
     try:
-        idx.batch_insert(data[4000:4100], build=True)   # small -> incremental
-        idx.batch_insert(data[4100:9000], build=True)   # 4900 -> bulk
+        idx.batch_insert(data[1200:1300], build=True)   # small -> incremental
+        idx.batch_insert(data[1300:3000], build=True)   # 1700 -> bulk
     finally:
         B.build_bulk, B.build_anng = real_bulk, real_anng
         I.build_anng = real_anng
     assert called.get("anng", 0) >= 1
     assert called.get("bulk", 0) >= 1
-    assert idx.graph.node_count() == 9000
+    assert idx.graph.node_count() == 3000
     assert idx.verify() == []
     q = data[777]
     got = idx.search(q, size=3, epsilon=0.1)
@@ -656,11 +656,12 @@ def test_qg_ivfpq_crossover(rng, monkeypatch):
     budget, auto routing must fall through to a WORKING path: the IVFPQ
     mirror (search_fallback default), not the silent exact downgrade.
     Forced here by shrinking NGT_TPU_QG_MAX_GB below any block size."""
-    data = rng.normal(size=(6000, 24)).astype(np.float32) * 10
-    queries = data[rng.choice(6000, 48, replace=False)] + rng.normal(
+    data = rng.normal(size=(3000, 24)).astype(np.float32) * 10
+    queries = data[rng.choice(3000, 48, replace=False)] + rng.normal(
         size=(48, 24)
     ).astype(np.float32)
     idx = _build(data)
+    idx.prop.search_qg_threshold = 1000   # keep the corpus small
     monkeypatch.setenv("NGT_TPU_QG_MAX_GB", "0.0000001")
     # a 6k corpus puts 32/256 default probes at only 12% coverage; widen so
     # the assertion tests the ROUTING, not small-corpus IVFPQ tuning

@@ -83,15 +83,15 @@ def test_graph_optimizer_pipeline(rng):
 
 
 def test_optimize_number_of_edges(rng):
-    data = rng.normal(size=(4000, 12)).astype(np.float32)
+    data = rng.normal(size=(2000, 12)).astype(np.float32)
     idx = ngt_tpu.create(None, dimension=12)
     idx.batch_insert(data, build=True)
     out = O.optimize_number_of_edges(
-        idx, target_accuracy=0.9, start_size=1200, num_queries=48,
+        idx, target_accuracy=0.9, start_size=800, num_queries=32,
     )
     assert len(out["sizes"]) >= 2
     assert out["recommended_edge_size_for_creation"] >= 5
-    assert out["target_size"] == 4000
+    assert out["target_size"] == 2000
     # the estimate is validated by one REAL rebuild at the recommendation
     # (not just the optimistic edge-size-masked sweep)
     assert out["validated_accuracy"] is not None

@@ -131,7 +131,7 @@ def test_build_bulk_pallas_flake_falls_back_to_xla(tmp_path, monkeypatch):
     import ngt_tpu
 
     rng = np.random.default_rng(33)
-    data = rng.standard_normal((4096, 128)).astype(np.float32)
+    data = rng.standard_normal((2048, 128)).astype(np.float32)
 
     monkeypatch.setenv("NGT_TPU_SCAN_IMPL", "xla")
     ref = ngt_tpu.create(str(tmp_path / "ref"), dimension=128)
@@ -180,7 +180,7 @@ def test_build_bulk_end_to_end_with_pallas_scan(tmp_path, monkeypatch):
 
     monkeypatch.setenv("NGT_TPU_SCAN_IMPL", "pallas")
     rng = np.random.default_rng(21)
-    data = rng.standard_normal((4096, 128)).astype(np.float32)
+    data = rng.standard_normal((2048, 128)).astype(np.float32)
     idx = ngt_tpu.create(str(tmp_path / "pidx"), dimension=128)
     idx.batch_insert(data, build=True)
     assert idx.verify() == []

@@ -293,3 +293,45 @@ def test_adjust_paths_native_matches_numpy(rng, monkeypatch):
     out_numpy = adjust_paths(g2, n, min_edges=3)
     assert np.array_equal(out_native.degree[:n], out_numpy.degree[:n])
     assert np.array_equal(out_native.nbr_ids[:n], out_numpy.nbr_ids[:n])
+
+
+def test_normalize_rows_device_path_parity(rng, monkeypatch):
+    """The device _normalize_rows path (big pair lists) must reproduce the
+    host lexsort path bit-for-bit — including the ids-only download +
+    symmetric host-side distance lookup used by the reconstruction family
+    (dist_from), in both the native and numpy lookup implementations."""
+    from ngt_tpu import native
+    from ngt_tpu.graph import reconstruct as R
+
+    n, e = 400, 14
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    d = np.linalg.norm(x[:, None] - x[None, :], axis=-1)
+    np.fill_diagonal(d, np.inf)
+    ids = np.argsort(d, axis=1)[:, :e].astype(np.int32)
+    ds = np.take_along_axis(d, ids, axis=1).astype(np.float32)
+
+    def mk():
+        g = GraphStore(max_edges=e, capacity=n)
+        g.set_nodes(np.arange(n), ids, ds)
+        return g
+
+    host = reconstruct_graph(mk(), n, out_edges=6, in_edges=16)
+
+    monkeypatch.setattr(R, "DEV_PAIRS_MIN", 1)
+    dev = reconstruct_graph(mk(), n, out_edges=6, in_edges=16)
+    assert np.array_equal(host.degree[:n], dev.degree[:n])
+    assert np.array_equal(host.nbr_ids[:n], dev.nbr_ids[:n])
+    np.testing.assert_array_equal(host.nbr_dist[:n], dev.nbr_dist[:n])
+    assert np.isfinite(
+        dev.nbr_dist[:n][dev.nbr_ids[:n] >= 0]
+    ).all()  # every resolved edge found a source-graph distance
+
+    if native.available():
+        lib_backup = native._lib, native._tried
+        native._lib, native._tried = None, True
+        try:
+            dev2 = reconstruct_graph(mk(), n, out_edges=6, in_edges=16)
+        finally:
+            native._lib, native._tried = lib_backup
+        assert np.array_equal(dev.nbr_ids[:n], dev2.nbr_ids[:n])
+        np.testing.assert_array_equal(dev.nbr_dist[:n], dev2.nbr_dist[:n])
