@@ -914,9 +914,14 @@ def build_bulk(
             # auto-route needs the COMPILED kernel: on any other backend
             # fast_knn_l2_bulk falls back to interpret mode, which at
             # >=512k rows is orders of magnitude slower than the XLA scan
+            # d_pad cap: the kernel's scoped-VMEM stack grows with the row
+            # width and the 16 MB budget overflows 2x at d_pad~1000
+            # (measured: gist-960 compile fails with vmem-stack OOM);
+            # validated at d_pad=128 — stay on the XLA scan past 256
             scan_impl = (
                 "pallas"
                 if x_fast.shape[0] >= (1 << 19)
+                and x_fast.shape[1] <= 256
                 and jax.default_backend() == "tpu"
                 else "xla"
             )
@@ -940,7 +945,21 @@ def build_bulk(
     for off in range(0, len(pending), qblock):
         chunk = pending[off : off + qblock]
         if fast:
-            ids, dists = _scan_chunk(chunk, scan_impl)
+            try:
+                ids, dists = _scan_chunk(chunk, scan_impl)
+            except jax.errors.JaxRuntimeError:
+                # COMPILE-time failures surface synchronously at the call
+                # (client-side AOT), unlike the async dispatch flakes the
+                # sync-point catches handle — downgrade this and all later
+                # chunks to the XLA scan
+                if scan_impl == "xla":
+                    raise
+                logger.warning(
+                    "pallas scan compile/dispatch failed; using the XLA "
+                    "scan for the rest of this build"
+                )
+                scan_impl = "xla"
+                ids, dists = _scan_chunk(chunk, "xla")
         else:
             bpad = _bucket(len(chunk))
             qrows = jnp.asarray(store._x[_pad_ids(chunk, bpad)])
@@ -1037,6 +1056,11 @@ def build_bulk(
             all_i, all_d = _concat(dev_chunks)
             np.asarray(jax.device_get(all_i[0, 0]))
         mark("scan")
+        # the per-chunk scan outputs are duplicated by the concat — at 8M
+        # x kc=82 the chunks + concat together hold 2 x 5.2 GB of HBM that
+        # the CC phase then OOMs on; drop the chunk refs as soon as the
+        # concat is forced (the except path above rebuilds them)
+        dev_chunks = None
         cap = store._x.shape[0]
         # enqueue the narrow-id slice BEFORE the rows program so its (one)
         # transfer is not queued behind the rows compute on the tunnel
@@ -1050,6 +1074,10 @@ def build_bulk(
             e_max=graph.e_max, cap=cap,
             reverse=prop.graph_type != GraphType.KNNG,
         )
+        # all_i/all_d are dead once the narrow slice + rows programs are
+        # enqueued (the runtime keeps them alive until those execute);
+        # another 5.2 GB at 8M the CC download must not sit on top of
+        all_i = all_d = None
         # no sync: the narrow-id download + host union-find below overlap
         # the rows program still executing on the device, so a blocking
         # profile mark here would serialize what production overlaps

@@ -696,7 +696,12 @@ class QuantizedGraphIndex:
             # (output + layout copy), the silent ghost behind the round-4
             # eb>=12 OOMs at 4M (6.4 GiB blocks needed ~13 GiB to gather)
             blocks = jnp.zeros((cap, eb * m), codes.dtype)
-            step = 1 << 19
+            # byte-bounded chunks: the transient gather costs ~2x the CHUNK
+            # bytes, so bound chunks at ~1 GiB rather than a fixed row count
+            # (at d_pad=960 a 512k-row chunk is 5.9 GiB and the fill compile
+            # itself OOMs HBM — measured on the gist-960 arm)
+            step = max(1 << 14, (1 << 30) // max(eb * m, 1))
+            step = min(1 << 19, 1 << int(step).bit_length() - 1)
             for s in range(0, cap, step):
                 blocks = _fill_blocks_slab(
                     blocks, codes, nbr[s : s + step], jnp.int32(s)

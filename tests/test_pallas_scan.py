@@ -174,7 +174,7 @@ def test_build_bulk_pallas_flake_falls_back_to_xla(tmp_path, monkeypatch):
 def test_build_bulk_end_to_end_with_pallas_scan(tmp_path, monkeypatch):
     """Full bulk build routed through the Pallas scan (interpret mode on
     CPU): the index must be structurally sound and searchable.  Window
-    loss at n=4096 is material (~1 of k+1 candidates per row), so the
+    loss at small n is material (~1 of k+1 candidates per row), so the
     assertions are structural + recall-banded, not exact-parity."""
     import ngt_tpu
 
@@ -185,7 +185,7 @@ def test_build_bulk_end_to_end_with_pallas_scan(tmp_path, monkeypatch):
     idx.batch_insert(data, build=True)
     assert idx.verify() == []
     ids, _ = idx.batch_search(data[::64], size=10, epsilon=0.1)
-    assert (np.asarray(ids)[:, 0] == np.arange(0, 4096, 64)).all()
+    assert (np.asarray(ids)[:, 0] == np.arange(0, 2048, 64)).all()
     gt, _ = idx.batch_linear_search(data[::64], size=10)
     rec = BF.recall_at_k(np.asarray(ids), np.asarray(gt), 10)
     assert rec >= 0.85, rec
