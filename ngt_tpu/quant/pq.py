@@ -153,8 +153,21 @@ class ProductQuantizer:
         )
         resid = x - self.mean
         xs = resid.reshape(len(x), self.m, self.dsub).transpose(1, 0, 2)
-        cents, _ = kmeans_multi(xs, self.ksub, iters=iters, seed=seed)
-        self.codebooks = cents.astype(np.float32)
+        # chunk the vmapped subspace axis: one shot over all M subspaces
+        # allocates M x |sample| x dsub k-means buffers — fine at M=64
+        # (d=128) but 64 GB-class at M=480 (d=960, measured compile OOM).
+        # ~64 subspaces per dispatch keeps the 128d case one dispatch.
+        step = max(1, (1 << 25) // max(len(x) * self.dsub, 1))
+        if self.m <= step:
+            cents, _ = kmeans_multi(xs, self.ksub, iters=iters, seed=seed)
+        else:
+            parts = [
+                kmeans_multi(xs[s : s + step], self.ksub, iters=iters,
+                             seed=seed + s)[0]
+                for s in range(0, self.m, step)
+            ]
+            cents = np.concatenate([np.asarray(p) for p in parts], axis=0)
+        self.codebooks = np.asarray(cents, np.float32)
         return self
 
     def encode(self, x: np.ndarray) -> np.ndarray:
