@@ -836,6 +836,16 @@ def build_bulk(
     graph.ensure_capacity(store._x.shape[0])
     if mirror is None:
         mirror = DeviceMirror(store, graph)
+    elif mirror.x is not None:
+        # Staged appends: drop the stale device mirror BEFORE the fresh
+        # narrow upload.  The bulk path re-adopts new device arrays at the
+        # end either way, and at 8M the previous stage's x+nbr (~4 GB at
+        # cap 2^23) held through the scan is the difference between fitting
+        # and RESOURCE_EXHAUSTED (round 5g: the 6M->8M staged append OOM'd
+        # at _upload_narrow with the 6M-era mirror still resident).
+        mirror.x = mirror.valid = mirror.sqnorm = mirror.nbr = None
+        mirror.capacity = 0
+        mirror.version += 1
 
     x_narrow = _upload_narrow(store._x)
     # the scan holds the whole matrix hot — widen a working copy (only for
