@@ -61,6 +61,13 @@ def main():
     for lo in range(0, args.n, step):
         idx.batch_insert(data[lo:lo + step], build=True)
         if args.stage:
+            # materialize the deferred adjacency NOW: at 8M the deferred
+            # device ids+dists (~2 x cap x e_max x 4 B) are the largest
+            # residents, and holding them through the next stage's scan is
+            # what RESOURCE_EXHAUSTs (round 5g).  The download is bounded
+            # (~1-2 min/stage over the tunnel) and the next merge works
+            # from the host rows.
+            _ = idx.graph.degree
             print(f"  staged append -> {min(lo + step, args.n)} rows "
                   f"({time.time()-t0:.1f}s)", flush=True)
     print(f"build {args.n} rows: {time.time()-t0:.1f}s")
